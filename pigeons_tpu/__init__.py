@@ -1,0 +1,39 @@
+"""pigeons_tpu: TPU-native non-reversible parallel tempering (JAX/XLA).
+
+A from-scratch framework with the capabilities of Pigeons.jl
+(Julia-Tempering), re-designed TPU-first: the chain ladder is a batched SoA
+pytree vmapped on-chip and sharded over a device mesh; DEO swaps are
+permutation updates over replicated index vectors; adaptation reduces
+fixed-shape statistics. See SURVEY.md at the repo root for the reference map.
+"""
+
+from .adaptation import communication_barriers, optimal_schedule
+from .evidence import stepping_stone, stepping_stone_pair
+from .inputs import Inputs
+from .models import TestSwapper, toy_mvn_target
+from .ops import NoOpExplorer, SliceSampler, ToyExplorer
+from .paths import InterpolatingPath, ScaledPrecisionNormalPath, toy_mvn_path
+from .pt import PT, pigeons
+from .schedule import Schedule, equally_spaced_schedule
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PT",
+    "pigeons",
+    "Inputs",
+    "Schedule",
+    "equally_spaced_schedule",
+    "communication_barriers",
+    "optimal_schedule",
+    "stepping_stone",
+    "stepping_stone_pair",
+    "toy_mvn_target",
+    "TestSwapper",
+    "SliceSampler",
+    "ToyExplorer",
+    "NoOpExplorer",
+    "InterpolatingPath",
+    "ScaledPrecisionNormalPath",
+    "toy_mvn_path",
+]

@@ -1,0 +1,389 @@
+"""The PT runtime: rounds of (explore, communicate) scans with adaptation.
+
+Reference call stack (``src/pt/pigeons.jl``): pigeons(pt) -> per round
+run_one_round! (2^r scans of explore! then communicate!) -> reduce_recorders!
+-> adapt (schedule via barrier estimation, explorer, variational) -> report ->
+checkpoint. Round r performs 2^r scans (``src/pt/Iterators.jl:49``).
+
+TPU-native structure: the whole round is ONE jitted ``lax.scan`` over scans.
+Per scan:
+  * explore: vmapped explorer kernel over the replica batch; the reference
+    chain regenerates iid from the reference when available (blended with a
+    ``where`` — reference ``pt/pigeons.jl:101-132`` branches per replica);
+  * communicate: DEO swap as a permutation update (swaps.py);
+  * recorders: fixed-shape accumulator updates in the carry.
+Between rounds, tiny host-side numpy does barrier estimation / schedule
+regridding / explorer adaptation — bitwise stable across device layouts.
+
+States are indexed by replica and never move; the chain permutation is
+replicated. Under a multi-device mesh, the states batch is sharded over the
+replica axis and only per-replica scalars cross devices each scan.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng
+from .adaptation import (
+    CommunicationBarriers,
+    communication_barriers,
+    optimal_schedule,
+    rejections_from_acceptance,
+)
+from .inputs import Inputs
+from .recorders import (
+    Recorders,
+    ReducedRecorders,
+    init_recorders,
+    reduce_recorders,
+    update_logsum,
+    update_round_trips,
+)
+from .schedule import Schedule, equally_spaced_schedule
+from .swaps import metropolis_accept_pr, swap_scan
+
+
+def _make_round_kernel(
+    path_log_density,  # (x, beta, ref_params) -> scalar
+    sample_reference,  # (key, ref_params) -> x, or None
+    explorer,
+    accept_fn,
+    n_chains: int,
+    record_index_process: bool,
+    record_swap_stats: bool,
+    use_iid_reference: bool,
+):
+    """Build the jitted one-round kernel. Static configuration is closed over;
+    everything that changes between rounds (betas, explorer state, reference
+    params) is a dynamic argument so rounds of equal length share a trace."""
+
+    def ld(x, beta, ref_params):
+        return path_log_density(x, beta, ref_params)
+
+    v_ld = jax.vmap(ld, in_axes=(0, 0, None))
+
+    def scan_body(carry, scan_idx, master_key, round_idx, betas, exp_state, ref_params):
+        states, chain_of, replica_of, rec = carry
+        n = n_chains
+
+        # ---------------- explore ----------------
+        betas_r = betas[chain_of]
+        lp_before = v_ld(states, betas_r, ref_params)
+
+        k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
+        keys = rng.replica_keys(k_explore, n)
+        chain_params = jax.tree.map(lambda a: a[chain_of], exp_state)
+
+        def one_step(key, x, lp0, beta, cp):
+            return explorer.step(
+                key, x, lp0, lambda xx: ld(xx, beta, ref_params), beta, cp
+            )
+
+        out = jax.vmap(one_step)(keys, states, lp_before, betas_r, chain_params)
+        x_after = out.x
+        lp_after = out.lp
+
+        is_ref_r = (chain_of == 0) & (n > 1)
+        is_target_r = chain_of == n - 1
+
+        if use_iid_reference:
+            k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
+            iid_keys = rng.replica_keys(k_iid, n)
+            iid = jax.vmap(lambda k: sample_reference(k, ref_params))(iid_keys)
+            x_after = jnp.where(is_ref_r[:, None], iid, x_after)
+            lp_after = jnp.where(is_ref_r, v_ld(iid, betas_r, ref_params), lp_after)
+
+        # recorders fed by exploration
+        chain_idx = chain_of
+        energy_row = jnp.stack(
+            [
+                jnp.ones_like(lp_before),
+                lp_before,
+                lp_after,
+                lp_before**2,
+                lp_after**2,
+                lp_before * lp_after,
+            ],
+            axis=-1,
+        )
+        rec = rec._replace(
+            energy=rec.energy.at[chain_idx].add(energy_row),
+            exp_accept_sum=rec.exp_accept_sum.at[chain_idx].add(out.accept_sum),
+            exp_accept_n=rec.exp_accept_n.at[chain_idx].add(out.accept_n),
+            exp_steps=rec.exp_steps.at[chain_idx].add(out.n_steps),
+        )
+
+        # online moments + trace at the target chain (reference pigeons.jl:110-131)
+        r_target = replica_of[n - 1]
+        extract = jnp.concatenate([x_after[r_target], lp_after[r_target][None]])
+        rec = rec._replace(
+            online_n=rec.online_n + 1.0,
+            online_sum=rec.online_sum + extract,
+            online_sumsq=rec.online_sumsq + extract**2,
+        )
+
+        # ---------------- communicate ----------------
+        # round-trip + index process recorded with the PRE-swap chain
+        # (reference swap.jl:106-126)
+        rec = update_round_trips(rec, is_ref_r, is_target_r)
+
+        from .swaps import deo_partner_map
+
+        partner_map = deo_partner_map(n, scan_idx)
+        partner_chain_r = partner_map[chain_of]
+        lp_partner = v_ld(x_after, betas[partner_chain_r], ref_params)
+        log_ratio = lp_partner - lp_after
+
+        k_swap = rng.scan_key(master_key, round_idx, scan_idx, rng.SWAP_UNIFORM)
+        res = swap_scan(k_swap, scan_idx, chain_of, replica_of, log_ratio, accept_fn)
+
+        rec = rec._replace(
+            accept_sum=rec.accept_sum + jnp.where(res.pair_active, res.accept_pr, 0.0),
+            accept_n=rec.accept_n + res.pair_active.astype(rec.accept_n.dtype),
+        )
+        if record_swap_stats:
+            lsr_fwd, lsr_fwd_n = update_logsum(
+                rec.lsr_fwd, rec.lsr_fwd_n, res.ratio_fwd, res.pair_active
+            )
+            lsr_bwd, lsr_bwd_n = update_logsum(
+                rec.lsr_bwd, rec.lsr_bwd_n, res.ratio_bwd, res.pair_active
+            )
+            rec = rec._replace(
+                lsr_fwd=lsr_fwd, lsr_fwd_n=lsr_fwd_n, lsr_bwd=lsr_bwd, lsr_bwd_n=lsr_bwd_n
+            )
+
+        outputs = {"trace": extract}
+        if record_index_process:
+            outputs["index_process"] = chain_of
+
+        return (x_after, res.chain_of, res.replica_of, rec), outputs
+
+    @partial(jax.jit, static_argnames=("n_scans",))
+    def round_kernel(
+        master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params, n_scans
+    ):
+        rec = init_recorders(n_chains, states.shape[1] + 1)
+        body = partial(
+            scan_body,
+            master_key=master_key,
+            round_idx=round_idx,
+            betas=betas,
+            exp_state=exp_state,
+            ref_params=ref_params,
+        )
+        (states, chain_of, replica_of, rec), outputs = jax.lax.scan(
+            body, (states, chain_of, replica_of, rec), jnp.arange(1, n_scans + 1)
+        )
+        return states, chain_of, replica_of, rec, outputs
+
+    return round_kernel
+
+
+@dataclass
+class RoundReport:
+    round_idx: int
+    n_scans: int
+    n_tempered_restarts: int
+    n_round_trips: int
+    global_barrier: float
+    log_z_estimate: float
+    min_swap_accept: float
+    mean_swap_accept: float
+    wall_time_s: float
+
+
+class PT:
+    """Run state + driver (reference ``src/pt/PT.jl``, ``src/pt/pigeons.jl``)."""
+
+    def __init__(self, inputs: Inputs):
+        self.inputs = inputs
+        target = inputs.target
+        if target is None:
+            raise ValueError(
+                "Inputs.target is required, e.g. pigeons(target=toy_mvn_target(10))"
+            )
+        n = inputs.n_chains
+        self.n_chains = n
+
+        # assemble the annealing path
+        reference = inputs.reference or target.default_reference()
+        self.reference = reference
+        path = target.create_path(reference)
+        self.path = path
+        self._ref_params = ()  # replaced when a variational reference activates
+
+        def path_log_density(x, beta, ref_params):
+            del ref_params
+            return path.log_density(x, beta)
+
+        sample_ref = None
+        if getattr(path, "has_iid_reference", False):
+            sample_ref = lambda key, ref_params: path.sample_reference(key)
+        self._path_log_density = path_log_density
+        self._sample_reference = sample_ref
+
+        self.explorer = inputs.explorer or target.default_explorer()
+        self.exp_state = self.explorer.init_state(n, target.dim)
+
+        accept_fn = metropolis_accept_pr
+        record_swap_stats = True
+        if hasattr(target, "swap_accept_fn"):
+            accept_fn = target.swap_accept_fn()
+            record_swap_stats = False  # reference pair_swapper.jl:133-135
+        self.accept_fn = accept_fn
+
+        self.schedule: Schedule = equally_spaced_schedule(n)
+        self.barriers: Optional[CommunicationBarriers] = None
+
+        # replica state
+        key = rng.master_key(inputs.seed)
+        self._key = key
+        init_keys = rng.replica_keys(jax.random.fold_in(key, rng.INIT), n)
+        self.states = jax.vmap(target.initialization)(init_keys).astype(jnp.float32)
+        self.chain_of = jnp.arange(n, dtype=jnp.int32)
+        self.replica_of = jnp.arange(n, dtype=jnp.int32)
+
+        self.round_idx = 0
+        self.reduced: Optional[ReducedRecorders] = None
+        self.reports: list[RoundReport] = []
+        self.traces = None  # last round's target-chain samples [n_scans, d+1]
+        self.index_process = None
+
+        self._kernel = _make_round_kernel(
+            path_log_density,
+            sample_ref,
+            self.explorer,
+            accept_fn,
+            n,
+            record_index_process="index_process" in inputs.record,
+            record_swap_stats=record_swap_stats,
+            use_iid_reference=sample_ref is not None,
+        )
+
+    # ------------------------------------------------------------------
+
+    @property
+    def betas(self) -> jax.Array:
+        return jnp.asarray(self.schedule.grids, dtype=jnp.float32)
+
+    def run_round(self) -> ReducedRecorders:
+        self.round_idx += 1
+        n_scans = 2**self.round_idx
+        t0 = time.perf_counter()
+        states, chain_of, replica_of, rec, outputs = self._kernel(
+            self._key,
+            jnp.asarray(self.round_idx),
+            self.betas,
+            self.states,
+            self.chain_of,
+            self.replica_of,
+            self.exp_state,
+            self._ref_params,
+            n_scans=n_scans,
+        )
+        states.block_until_ready()
+        wall = time.perf_counter() - t0
+        self.states, self.chain_of, self.replica_of = states, chain_of, replica_of
+        self.traces = np.asarray(outputs["trace"])
+        if "index_process" in outputs:
+            self.index_process = np.asarray(outputs["index_process"])
+        reduced = reduce_recorders(rec)
+        self.reduced = reduced
+        self._adapt(reduced)
+        self._report(reduced, n_scans, wall)
+        return reduced
+
+    def _adapt(self, reduced: ReducedRecorders) -> None:
+        if self.n_chains > 1:
+            rej = rejections_from_acceptance(
+                np.nan_to_num(reduced.accept_mean, nan=0.5), reduced.accept_n
+            )
+            self.barriers = communication_barriers(rej, self.schedule.grids)
+            self.schedule = optimal_schedule(rej, self.schedule.grids)
+        else:
+            # single chain: no pairs, no barrier, schedule stays [1.0]
+            self.barriers = communication_barriers([0.0], [0.0, 1.0])
+        self.exp_state = self.explorer.adapt(self.exp_state, reduced, self.round_idx)
+
+    def _report(self, reduced: ReducedRecorders, n_scans: int, wall: float) -> None:
+        from .evidence import stepping_stone_from_reduced
+
+        with np.errstate(invalid="ignore"):
+            obs = reduced.accept_n > 0
+            min_acc = float(np.min(reduced.accept_mean[obs])) if obs.any() else np.nan
+            mean_acc = float(np.mean(reduced.accept_mean[obs])) if obs.any() else np.nan
+        report = RoundReport(
+            round_idx=self.round_idx,
+            n_scans=n_scans,
+            n_tempered_restarts=reduced.n_tempered_restarts,
+            n_round_trips=reduced.n_round_trips,
+            global_barrier=self.barriers.global_barrier,
+            log_z_estimate=stepping_stone_from_reduced(reduced),
+            min_swap_accept=min_acc,
+            mean_swap_accept=mean_acc,
+            wall_time_s=wall,
+        )
+        self.reports.append(report)
+        if self.inputs.show_report:
+            if self.round_idx == 1:
+                print(
+                    f"{'round':>5} {'scans':>6} {'restarts':>8} {'trips':>6} "
+                    f"{'Λ':>7} {'logZ':>9} {'min(α)':>7} {'mean(α)':>7} {'time(s)':>8}"
+                )
+            print(
+                f"{report.round_idx:>5} {report.n_scans:>6} {report.n_tempered_restarts:>8} "
+                f"{report.n_round_trips:>6} {report.global_barrier:>7.3f} "
+                f"{report.log_z_estimate:>9.3f} {report.min_swap_accept:>7.3f} "
+                f"{report.mean_swap_accept:>7.3f} {report.wall_time_s:>8.3f}"
+            )
+
+    def run(self) -> "PT":
+        while self.round_idx < self.inputs.n_rounds:
+            self.run_round()
+        return self
+
+    # ------------------------------------------------------------------
+    # results API (reference src/pt/process_sample.jl, OnlineStateRecorder.jl)
+
+    def sample_array(self) -> np.ndarray:
+        """Last-round target-chain samples, [iterations, dim + 1]; the final
+        column is the interpolated log density (reference ``extract_sample``
+        appends it, ``src/pt/state.jl:90-99``)."""
+        if self.traces is None:
+            raise RuntimeError("run() first")
+        return self.traces
+
+    def mean(self) -> np.ndarray:
+        return self.reduced.online_mean[:-1]
+
+    def var(self) -> np.ndarray:
+        return self.reduced.online_var[:-1]
+
+    @property
+    def n_round_trips(self) -> int:
+        return self.reduced.n_round_trips
+
+    @property
+    def n_tempered_restarts(self) -> int:
+        return self.reduced.n_tempered_restarts
+
+    @property
+    def global_barrier(self) -> float:
+        return self.barriers.global_barrier
+
+
+def pigeons(target=None, **kwargs) -> PT:
+    """Main entry point (reference ``src/submission/api.jl``)."""
+    if isinstance(target, Inputs):
+        inputs = target
+    else:
+        inputs = Inputs(target=target, **kwargs)
+    return PT(inputs).run()

@@ -1,0 +1,36 @@
+"""Posterior-moment parity on the toy MVN (reference ``test/test_moments.jl``:
+mean within 0.03 of 0, variance within 0.03 of 0.1)."""
+
+import numpy as np
+
+import pigeons_tpu as pg
+
+
+def test_moments_toy_explorer():
+    pt = pg.pigeons(
+        target=pg.toy_mvn_target(2), n_chains=2, n_rounds=10, show_report=False
+    )
+    assert np.all(np.abs(pt.mean()) < 0.03)
+    assert np.all(np.abs(pt.var() - 0.1) < 0.03)
+
+
+def test_moments_slice_sampler():
+    pt = pg.pigeons(
+        target=pg.toy_mvn_target(2),
+        explorer=pg.SliceSampler(),
+        n_chains=5,
+        n_rounds=10,
+        show_report=False,
+    )
+    assert np.all(np.abs(pt.mean()) < 0.03)
+    assert np.all(np.abs(pt.var() - 0.1) < 0.03)
+
+
+def test_traces_match_online_moments():
+    pt = pg.pigeons(
+        target=pg.toy_mvn_target(3), n_chains=4, n_rounds=8, show_report=False
+    )
+    samples = pt.sample_array()
+    assert samples.shape == (2**8, 4)  # dim + log-density column
+    trace_mean = samples[:, :-1].mean(axis=0)
+    assert np.allclose(trace_mean, pt.mean(), atol=1e-5)
