@@ -11,7 +11,19 @@ from .adaptation import communication_barriers, optimal_schedule
 from .evidence import stepping_stone, stepping_stone_pair
 from .inputs import Inputs
 from .models import TestSwapper, toy_mvn_target
-from .ops import NoOpExplorer, SliceSampler, ToyExplorer
+from .ops import (
+    AAPS,
+    AutoMALA,
+    Compose,
+    DiagonalPreconditioner,
+    IdentityPreconditioner,
+    MALA,
+    Mix,
+    MixDiagonalPreconditioner,
+    NoOpExplorer,
+    SliceSampler,
+    ToyExplorer,
+)
 from .paths import InterpolatingPath, ScaledPrecisionNormalPath, toy_mvn_path
 from .pt import PT, pigeons
 from .schedule import Schedule, equally_spaced_schedule
@@ -33,6 +45,14 @@ __all__ = [
     "SliceSampler",
     "ToyExplorer",
     "NoOpExplorer",
+    "MALA",
+    "AutoMALA",
+    "AAPS",
+    "Mix",
+    "Compose",
+    "IdentityPreconditioner",
+    "DiagonalPreconditioner",
+    "MixDiagonalPreconditioner",
     "InterpolatingPath",
     "ScaledPrecisionNormalPath",
     "toy_mvn_path",

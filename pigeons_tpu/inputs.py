@@ -19,6 +19,10 @@ class Inputs:
     seed: int = 1
     n_rounds: int = 10
     n_chains: int = 10
+    # Number of independent PT ladders batched on-chip (TPU-native capability:
+    # vmapped replicate systems share one compiled kernel; recorders pool
+    # across replicates, multiplying effective samples per wall-clock second).
+    n_replicates: int = 1
     n_chains_variational: int = 0
     reference: Optional[Any] = None
     variational: Optional[Any] = None
@@ -28,6 +32,9 @@ class Inputs:
     explorer: Optional[Any] = None
     show_report: bool = True
     extended_traces: bool = False
+    # Optional ReplicaMesh: shard the replica axis over a 1-D device mesh
+    # (the analogue of launching the reference over MPI processes).
+    mesh: Optional[Any] = None
 
     def __post_init__(self):
         self.record = tuple(self.record)

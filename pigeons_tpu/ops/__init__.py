@@ -1,10 +1,31 @@
-from .base import Explorer, StepOut, ToyExplorer, NoOpExplorer
+from .aaps import AAPS
+from .automala import AutoMALA
+from .base import Explorer, NoOpExplorer, StepOut, ToyExplorer
+from .combinators import Compose, Mix
+from .hamiltonian import (
+    DiagonalPreconditioner,
+    IdentityPreconditioner,
+    MixDiagonalPreconditioner,
+    leapfrog,
+    log_joint,
+)
+from .mala import MALA
 from .slice_sampler import SliceSampler
 
 __all__ = [
+    "AAPS",
+    "AutoMALA",
+    "Compose",
+    "DiagonalPreconditioner",
     "Explorer",
-    "StepOut",
-    "ToyExplorer",
+    "IdentityPreconditioner",
+    "MALA",
+    "Mix",
+    "MixDiagonalPreconditioner",
     "NoOpExplorer",
     "SliceSampler",
+    "StepOut",
+    "ToyExplorer",
+    "leapfrog",
+    "log_joint",
 ]

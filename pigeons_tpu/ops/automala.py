@@ -1,0 +1,172 @@
+"""AutoMALA: MALA with per-step automatic step-size selection.
+
+Reference semantics (``src/explorers/AutoMALA.jl``, Biron-Lattes et al. 2024):
+per refreshment, draw (a, b) ~ U(0,1)^2 giving log-acceptance bounds
+[log min(a,b), log max(a,b)]; starting from the round's base step size, double
+(grow) or halve (shrink) until the one-step leapfrog log-joint difference
+enters the bounds; move with the selected step size; then re-run the search
+from the proposal with flipped momentum and require the same exponent (the
+reversibility check) before the MH correction. MH is skipped on the first
+scan of each round (transient phase). Between rounds the base step size is
+multiplied by the mean across chains of the mean selected factor 2^exponent,
+and the preconditioner std deviations are re-estimated.
+
+TPU-native notes: the grow/shrink search is one unified bounded
+``lax.while_loop`` (direction +-1); under vmap all chains run the search in
+lockstep with masking. The search is capped at ``max_exponent`` halvings/
+doublings (the reference errors on float underflow instead;
+``AutoMALA.jl:236-239``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .base import Explorer, StepOut
+from .hamiltonian import MixDiagonalPreconditioner, leapfrog, log_joint
+
+
+class AutoMALA(Explorer):
+    extra_names = ("am_factor", "reversibility_rate")
+
+    def __init__(
+        self,
+        step_size: float = 1.0,
+        base_n_refresh: int = 3,
+        exponent_n_refresh: float = 0.35,
+        preconditioner=None,
+        max_exponent: int = 40,
+    ):
+        self.step_size = float(step_size)
+        self.base_n_refresh = int(base_n_refresh)
+        self.exponent_n_refresh = float(exponent_n_refresh)
+        self.preconditioner = (
+            preconditioner if preconditioner is not None else MixDiagonalPreconditioner()
+        )
+        self.max_exponent = int(max_exponent)
+
+    def n_refresh(self, dim: int) -> int:
+        return self.base_n_refresh * math.ceil(dim**self.exponent_n_refresh)
+
+    def init_state(self, n_chains: int, dim: int):
+        return {
+            "step_size": jnp.full((n_chains,), self.step_size, jnp.float32),
+            "std_devs": jnp.ones((n_chains, dim), jnp.float32),
+        }
+
+    def adapt(self, state, reduced, round_idx: int):
+        # step size *= mean over chains of the chain-mean selected factor
+        # (reference AutoMALA.jl:73-75)
+        factor_mean = reduced.extra_mean[:, 0]
+        observed = np.isfinite(factor_mean)
+        factor = float(np.mean(factor_mean[observed])) if observed.any() else 1.0
+        new_step = state["step_size"] * jnp.float32(factor)
+        std_devs = state["std_devs"]
+        if self.preconditioner.adapts:
+            std = np.sqrt(np.maximum(reduced.online_var[:-1], 0.0))
+            n = std_devs.shape[0]
+            std_devs = jnp.tile(jnp.asarray(std, jnp.float32)[None, :], (n, 1))
+        return {"step_size": new_step, "std_devs": std_devs}
+
+    # -- step-size search --------------------------------------------------
+
+    def _auto_step_size(self, lp_fn, precond, x, v, lp, base_step, lower, upper):
+        """Returns (exponent, n_leapfrogs). The log-joint difference of a
+        single leapfrog from (x, v) with step eps, as a function of eps."""
+        h_before = log_joint(lp, v)
+
+        def ljd(eps):
+            _, v_n, lp_n, ok = leapfrog(lp_fn, precond, x, v, eps)
+            return jnp.where(ok, log_joint(lp_n, v_n) - h_before, jnp.nan)
+
+        diff0 = ljd(base_step)
+        shrink = ~jnp.isfinite(diff0) | (diff0 < lower)
+        grow = jnp.isfinite(diff0) & (diff0 > upper)
+        direction = jnp.where(grow, 1, jnp.where(shrink, -1, 0))
+
+        def cond(carry):
+            n, step, done = carry
+            return ~done & (n < self.max_exponent)
+
+        def body(carry):
+            n, step, done = carry
+            n = n + 1
+            step = jnp.where(direction > 0, step * 2.0, step * 0.5)
+            diff = ljd(step)
+            done_grow = (direction > 0) & (~jnp.isfinite(diff) | (diff < upper))
+            done_shrink = (direction < 0) & jnp.isfinite(diff) & (diff > lower)
+            return n, step, done_grow | done_shrink
+
+        n, _, _ = lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), base_step, direction == 0)
+        )
+        # grow returns n-1 (one less, avoiding the acceptance cliff); shrink -n
+        exponent = jnp.where(direction > 0, n - 1, jnp.where(direction < 0, -n, 0))
+        return exponent, (1 + n).astype(jnp.float32)
+
+    # -- full step ---------------------------------------------------------
+
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
+        n_refresh = self.n_refresh(x.shape[0])
+        base_step = chain_params["step_size"]
+        std_devs = chain_params["std_devs"]
+        # the reference skips MH on the first scan of each round
+        use_mh = scan_idx != 1
+
+        def refresh(i, carry):
+            x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n = carry
+            k = jax.random.fold_in(key, i)
+            k_mom, k_prec, k_a, k_b, k_mh = jax.random.split(k, 5)
+            precond = self.preconditioner.build(k_prec, std_devs)
+            v = jax.random.normal(k_mom, x.shape, x.dtype)
+            h0 = log_joint(lp, v)
+            a = jax.random.uniform(k_a)
+            b = jax.random.uniform(k_b)
+            lower = jnp.log(jnp.minimum(a, b))
+            upper = jnp.log(jnp.maximum(a, b))
+
+            exp_fwd, n_fwd = self._auto_step_size(
+                lp_fn, precond, x, v, lp, base_step, lower, upper
+            )
+            step = base_step * 2.0**exp_fwd.astype(x.dtype)
+            x_new, v_new, lp_new, ok = leapfrog(lp_fn, precond, x, v, step)
+            f_s = f_s + 2.0**exp_fwd.astype(jnp.float32)
+            f_n = f_n + 1.0
+            ns = ns + n_fwd + 1.0
+
+            # reversibility check from the proposal with flipped momentum
+            # (the reference runs it only when MH is active; mask its stats so
+            # the adaptation sees the same factor stream)
+            exp_rev, n_rev = self._auto_step_size(
+                lp_fn, precond, x_new, -v_new, lp_new, base_step, lower, upper
+            )
+            reversible = (exp_rev == exp_fwd) & ok
+            f_s = f_s + jnp.where(use_mh, 2.0**exp_rev.astype(jnp.float32), 0.0)
+            f_n = f_n + jnp.where(use_mh, 1.0, 0.0)
+            ns = ns + jnp.where(use_mh, n_rev, 0.0)
+
+            h1 = log_joint(lp_new, v_new)
+            pr = jnp.where(reversible, jnp.minimum(1.0, jnp.exp(h1 - h0)), 0.0)
+            accept = use_mh & (jax.random.uniform(k_mh) < pr) | (~use_mh & ok)
+            x = jnp.where(accept, x_new, x)
+            lp = jnp.where(accept, lp_new, lp)
+            a_s = a_s + jnp.where(use_mh, pr, 0.0)
+            a_n = a_n + jnp.where(use_mh, 1.0, 0.0)
+            r_s = r_s + jnp.where(use_mh, reversible.astype(jnp.float32), 0.0)
+            r_n = r_n + jnp.where(use_mh, 1.0, 0.0)
+            return x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n
+
+        z = jnp.zeros((), jnp.float32)
+        x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n = lax.fori_loop(
+            0, n_refresh, refresh, (x, lp0, z, z, z, z, z, z, z)
+        )
+        return StepOut(
+            x, lp, a_s, a_n, ns,
+            extras_sum=jnp.stack([f_s, r_s]),
+            extras_n=jnp.stack([f_n, r_n]),
+        )

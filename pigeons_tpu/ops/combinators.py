@@ -1,0 +1,107 @@
+"""Explorer combinators: random mixtures and deterministic compositions.
+
+Reference: ``src/explorers/Mix.jl`` (pick one sub-explorer uniformly per
+step) and ``src/explorers/Compose.jl`` (run all sub-explorers in sequence).
+Adaptation and recorder plumbing recurse into the components.
+
+TPU-native note: a data-dependent uniform choice would put a ``lax.switch``
+inside the vmapped step — all branches execute on masked lanes. ``Mix``
+instead selects the component from the scan key *replicated per replica* via
+``lax.switch``; under vmap this still executes every branch, so prefer
+``Compose`` (or a single explorer) on hot paths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import Explorer, StepOut
+
+
+class Compose(Explorer):
+    """Deterministic composition: run each component in order."""
+
+    def __init__(self, *explorers):
+        self.explorers = tuple(explorers)
+        self.extra_names = tuple(
+            f"{i}_{name}" for i, e in enumerate(self.explorers) for name in e.extra_names
+        )
+        self._extra_slices = []
+        off = 0
+        for e in self.explorers:
+            k = len(e.extra_names)
+            self._extra_slices.append((off, k))
+            off += k
+
+    def init_state(self, n_chains: int, dim: int):
+        return tuple(e.init_state(n_chains, dim) for e in self.explorers)
+
+    def adapt(self, state, reduced, round_idx: int):
+        out = []
+        for e, s, (off, k) in zip(self.explorers, state, self._extra_slices):
+            view = reduced
+            if k:
+                view = reduced._replace(
+                    extra_mean=reduced.extra_mean[:, off : off + k],
+                    extra_n=reduced.extra_n[:, off : off + k],
+                )
+            out.append(e.adapt(s, view, round_idx))
+        return tuple(out)
+
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
+        z = jnp.zeros((), jnp.float32)
+        a_s = a_n = ns = z
+        ex_s, ex_n = [], []
+        lp = lp0
+        for i, (e, cp) in enumerate(zip(self.explorers, chain_params)):
+            out = e.step(jax.random.fold_in(key, i), x, lp, lp_fn, beta, cp, scan_idx)
+            x, lp = out.x, out.lp
+            a_s, a_n, ns = a_s + out.accept_sum, a_n + out.accept_n, ns + out.n_steps
+            if len(e.extra_names):
+                ex_s.append(out.extras_sum)
+                ex_n.append(out.extras_n)
+        extras_sum = jnp.concatenate(ex_s) if ex_s else ()
+        extras_n = jnp.concatenate(ex_n) if ex_n else ()
+        return StepOut(x, lp, a_s, a_n, ns, extras_sum, extras_n)
+
+
+class Mix(Explorer):
+    """Uniform random mixture: pick one component per step
+    (reference ``Mix.jl:23``)."""
+
+    def __init__(self, *explorers):
+        self.explorers = tuple(explorers)
+        for e in self.explorers:
+            if e.extra_names:
+                # a per-step random subset of extras would make the per-chain
+                # counts ambiguous; Compose supports extras, Mix does not yet
+                raise NotImplementedError(
+                    "Mix over explorers with extra recorders is not supported; "
+                    "use Compose or a single explorer"
+                )
+
+    def init_state(self, n_chains: int, dim: int):
+        return tuple(e.init_state(n_chains, dim) for e in self.explorers)
+
+    def adapt(self, state, reduced, round_idx: int):
+        return tuple(
+            e.adapt(s, reduced, round_idx) for e, s in zip(self.explorers, state)
+        )
+
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
+        k_pick, k_step = jax.random.split(key)
+        idx = jax.random.randint(k_pick, (), 0, len(self.explorers))
+
+        def make_branch(i):
+            def branch(args):
+                x, lp0 = args
+                out = self.explorers[i].step(
+                    k_step, x, lp0, lp_fn, beta, chain_params[i], scan_idx
+                )
+                return StepOut(out.x, out.lp, out.accept_sum, out.accept_n, out.n_steps)
+
+            return branch
+
+        return lax.switch(idx, [make_branch(i) for i in range(len(self.explorers))], (x, lp0))

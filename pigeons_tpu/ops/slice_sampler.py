@@ -77,11 +77,11 @@ class SliceSampler(Explorer):
         # --- doubling validity check (slice_accept), eager-refresh variant ---
         def acceptable(new_pos):
             def acc_cond(carry):
-                Lh, Rh, lp_Lh, lp_Rh, rejected, done = carry
+                Lh, Rh, lp_Lh, lp_Rh, rejected, done, ne = carry
                 return (~done) & (Rh - Lh > 1.1 * w)
 
             def acc_body(carry):
-                Lh, Rh, lp_Lh, lp_Rh, rejected, done = carry
+                Lh, Rh, lp_Lh, lp_Rh, rejected, done, ne = carry
                 M = 0.5 * (Lh + Rh)
                 crossed = ((old < M) & (new_pos >= M)) | ((old >= M) & (new_pos < M))
                 take_left = new_pos < M
@@ -91,28 +91,33 @@ class SliceSampler(Explorer):
                 lp_Lh_n = jnp.where(take_left, lp_Lh, lp_M)
                 lp_Rh_n = jnp.where(take_left, lp_M, lp_Rh)
                 rej = crossed & (z >= lp_Lh_n) & (z >= lp_Rh_n)
-                return (Lh_n, Rh_n, lp_Lh_n, lp_Rh_n, rejected | rej, rej)
+                return (Lh_n, Rh_n, lp_Lh_n, lp_Rh_n, rejected | rej, rej, ne + 1.0)
 
-            _, _, _, _, rejected, _ = lax.while_loop(
+            _, _, _, _, rejected, _, n_evals = lax.while_loop(
                 acc_cond,
                 acc_body,
-                (L, R, lp_L, lp_R, jnp.asarray(False), jnp.asarray(False)),
+                (L, R, lp_L, lp_R, jnp.asarray(False), jnp.asarray(False),
+                 jnp.zeros((), jnp.float32)),
             )
-            return ~rejected
+            return ~rejected, n_evals
 
         # --- shrinkage (slice_shrink!) ---
-        # carry: (key, Lbar, Rbar, pos, lp, done, n, acc_sum, acc_n)
+        # carry: (key, Lbar, Rbar, pos, lp, done, n, acc_sum, acc_n, n_evals)
         def shr_cond(carry):
-            key, Lb, Rb, pos, lp, done, n, a_s, a_n = carry
+            key, Lb, Rb, pos, lp, done, n, a_s, a_n, ne = carry
             return (~done) & (n <= self.max_iter)
 
         def shr_body(carry):
-            key, Lb, Rb, pos, lp, done, n, a_s, a_n = carry
+            key, Lb, Rb, pos, lp, done, n, a_s, a_n, ne = carry
             key, sub = jax.random.split(key)
             new = Lb + jax.random.uniform(sub, dtype=f) * (Rb - Lb)
             lp_new = lp_at(new)
+            accept_ok, acc_evals = acceptable(new)
             consider = z < lp_new
-            ok = consider & acceptable(new)
+            # count only algorithmically-required evals (the serial reference
+            # runs the validity check only when the vertical test passes)
+            ne = ne + 1.0 + jnp.where(consider, acc_evals, 0.0)
+            ok = consider & accept_ok
             # on acceptance, move; otherwise shrink the bracket toward `new`
             pos_n = jnp.where(ok, new, pos)
             lp_n = jnp.where(ok, lp_new, lp)
@@ -128,7 +133,7 @@ class SliceSampler(Explorer):
             done_n = ok | degenerate
             a_s = a_s + jnp.where(ok, 1.0, 0.0)
             a_n = a_n + jnp.where(consider, 1.0, 0.0)
-            return (key, Lb_n, Rb_n, pos_n, lp_n, done_n, n + 1, a_s, a_n)
+            return (key, Lb_n, Rb_n, pos_n, lp_n, done_n, n + 1, a_s, a_n, ne)
 
         init = (
             k_shr,
@@ -140,17 +145,20 @@ class SliceSampler(Explorer):
             jnp.asarray(1),
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
         )
-        _, _, _, pos, lp, _, n_shrink, acc_sum, acc_n = lax.while_loop(
+        _, _, _, pos, lp, _, _, acc_sum, acc_n, n_shrink_evals = lax.while_loop(
             shr_cond, shr_body, init
         )
         x_new = x.at[c].set(pos)
-        n_steps = n_doublings + (n_shrink - 1).astype(jnp.float32)
+        # n_steps counts log-density evaluations: 2 bracket-endpoint inits,
+        # one per doubling, then shrink draws + validity-check midpoints
+        n_steps = 2.0 + n_doublings + n_shrink_evals
         return x_new, lp, acc_sum, acc_n, n_steps
 
     # -- full step -----------------------------------------------------------
 
-    def step(self, key, x, lp0, lp_fn, beta, chain_params) -> StepOut:
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
         d = x.shape[0]
 
         def one_pass(p_idx, carry):

@@ -60,49 +60,74 @@ def _make_round_kernel(
     record_index_process: bool,
     record_swap_stats: bool,
     use_iid_reference: bool,
+    mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
+    n_replicates: int = 1,  # vmap this many independent ladders
 ):
     """Build the jitted one-round kernel. Static configuration is closed over;
     everything that changes between rounds (betas, explorer state, reference
-    params) is a dynamic argument so rounds of equal length share a trace."""
+    params) is a dynamic argument so rounds of equal length share a trace.
+
+    With a :class:`~pigeons_tpu.parallel.ReplicaMesh`, the whole round runs
+    under ``shard_map``: states are block-partitioned over the replica axis,
+    chain/replica permutations stay replicated, and each scan's only
+    cross-device traffic is one ``all_gather`` of ``[N]`` swap scalars plus one
+    ``psum`` of the ``[d+1]`` target-chain extract. Per-chain recorder partials
+    (each chain written by exactly one device) are ``psum``-combined once at
+    round end — bitwise identical to the single-device result because the sum
+    only adds exact zeros (the analogue of the reference's deterministic
+    reductions, ``mpi_utils/Entangler.jl:214-277``).
+    """
+    axis = mesh.axis if mesh is not None else None
+    n_dev = mesh.n_devices if mesh is not None else 1
+    n_local = n_chains // n_dev
+
+    def agather(x):
+        return x if axis is None else jax.lax.all_gather(x, axis, tiled=True)
+
+    def apsum(x):
+        return x if axis is None else jax.lax.psum(x, axis)
 
     def ld(x, beta, ref_params):
         return path_log_density(x, beta, ref_params)
 
     v_ld = jax.vmap(ld, in_axes=(0, 0, None))
 
-    def scan_body(carry, scan_idx, master_key, round_idx, betas, exp_state, ref_params):
+    def scan_body(carry, scan_idx, master_key, round_idx, betas, exp_state, ref_params, gidx):
         states, chain_of, replica_of, rec = carry
         n = n_chains
+        chain_loc = chain_of[gidx]  # chains of this device's replicas
 
         # ---------------- explore ----------------
-        betas_r = betas[chain_of]
-        lp_before = v_ld(states, betas_r, ref_params)
+        betas_loc = betas[chain_loc]
+        lp_before = v_ld(states, betas_loc, ref_params)
 
         k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
-        keys = rng.replica_keys(k_explore, n)
-        chain_params = jax.tree.map(lambda a: a[chain_of], exp_state)
+        keys = rng.keys_for(k_explore, gidx)
+        chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
         def one_step(key, x, lp0, beta, cp):
             return explorer.step(
-                key, x, lp0, lambda xx: ld(xx, beta, ref_params), beta, cp
+                key, x, lp0, lambda xx: ld(xx, beta, ref_params), beta, cp, scan_idx
             )
 
-        out = jax.vmap(one_step)(keys, states, lp_before, betas_r, chain_params)
+        out = jax.vmap(one_step)(keys, states, lp_before, betas_loc, chain_params)
         x_after = out.x
         lp_after = out.lp
 
-        is_ref_r = (chain_of == 0) & (n > 1)
-        is_target_r = chain_of == n - 1
+        is_ref_loc = (chain_loc == 0) & (n > 1)
 
         if use_iid_reference:
             k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
-            iid_keys = rng.replica_keys(k_iid, n)
+            iid_keys = rng.keys_for(k_iid, gidx)
             iid = jax.vmap(lambda k: sample_reference(k, ref_params))(iid_keys)
-            x_after = jnp.where(is_ref_r[:, None], iid, x_after)
-            lp_after = jnp.where(is_ref_r, v_ld(iid, betas_r, ref_params), lp_after)
+            x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
+            lp_after = jnp.where(is_ref_loc, v_ld(iid, betas_loc, ref_params), lp_after)
 
-        # recorders fed by exploration
-        chain_idx = chain_of
+        # Per-chain recorder updates. Each chain is held by exactly one replica
+        # (on one device), so the psum of the per-device scatter rows adds only
+        # exact zeros — and accumulating the *combined* [N, .] update keeps the
+        # additions in scan order, making the round totals bitwise identical to
+        # the single-device run even though chains migrate across devices.
         energy_row = jnp.stack(
             [
                 jnp.ones_like(lp_before),
@@ -114,16 +139,38 @@ def _make_round_kernel(
             ],
             axis=-1,
         )
+        z_chain = jnp.zeros((n,), energy_row.dtype)
+        cols = [
+            jnp.zeros((n, 6), energy_row.dtype).at[chain_loc].add(energy_row),
+            z_chain.at[chain_loc].add(out.accept_sum)[:, None],
+            z_chain.at[chain_loc].add(out.accept_n)[:, None],
+            z_chain.at[chain_loc].add(out.n_steps)[:, None],
+        ]
+        n_extras = len(explorer.extra_names)
+        if n_extras:
+            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(out.extras_sum))
+            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(out.extras_n))
+        chain_update = apsum(jnp.concatenate(cols, axis=1))
         rec = rec._replace(
-            energy=rec.energy.at[chain_idx].add(energy_row),
-            exp_accept_sum=rec.exp_accept_sum.at[chain_idx].add(out.accept_sum),
-            exp_accept_n=rec.exp_accept_n.at[chain_idx].add(out.accept_n),
-            exp_steps=rec.exp_steps.at[chain_idx].add(out.n_steps),
+            energy=rec.energy + chain_update[:, :6],
+            exp_accept_sum=rec.exp_accept_sum + chain_update[:, 6],
+            exp_accept_n=rec.exp_accept_n + chain_update[:, 7],
+            exp_steps=rec.exp_steps + chain_update[:, 8],
         )
+        if n_extras:
+            rec = rec._replace(
+                extra_sum=rec.extra_sum + chain_update[:, 9 : 9 + n_extras],
+                extra_n=rec.extra_n + chain_update[:, 9 + n_extras :],
+            )
 
-        # online moments + trace at the target chain (reference pigeons.jl:110-131)
-        r_target = replica_of[n - 1]
-        extract = jnp.concatenate([x_after[r_target], lp_after[r_target][None]])
+        # online moments + trace at the target chain (reference pigeons.jl:110-131):
+        # exactly one replica globally sits at the target chain, so the psum of
+        # the masked local sum reconstructs its extract bit-for-bit.
+        is_target_loc = chain_loc == n - 1
+        extract_loc = jnp.concatenate([x_after, lp_after[:, None]], axis=1)
+        extract = apsum(
+            jnp.sum(jnp.where(is_target_loc[:, None], extract_loc, 0.0), axis=0)
+        )
         rec = rec._replace(
             online_n=rec.online_n + 1.0,
             online_sum=rec.online_sum + extract,
@@ -132,15 +179,17 @@ def _make_round_kernel(
 
         # ---------------- communicate ----------------
         # round-trip + index process recorded with the PRE-swap chain
-        # (reference swap.jl:106-126)
-        rec = update_round_trips(rec, is_ref_r, is_target_r)
+        # (reference swap.jl:106-126); replicated [N] computation
+        is_ref_all = (chain_of == 0) & (n > 1)
+        is_target_all = chain_of == n - 1
+        rec = update_round_trips(rec, is_ref_all, is_target_all)
 
         from .swaps import deo_partner_map
 
         partner_map = deo_partner_map(n, scan_idx)
-        partner_chain_r = partner_map[chain_of]
-        lp_partner = v_ld(x_after, betas[partner_chain_r], ref_params)
-        log_ratio = lp_partner - lp_after
+        partner_chain_loc = partner_map[chain_loc]
+        lp_partner = v_ld(x_after, betas[partner_chain_loc], ref_params)
+        log_ratio = agather(lp_partner - lp_after)  # [N] in global replica order
 
         k_swap = rng.scan_key(master_key, round_idx, scan_idx, rng.SWAP_UNIFORM)
         res = swap_scan(k_swap, scan_idx, chain_of, replica_of, log_ratio, accept_fn)
@@ -166,11 +215,15 @@ def _make_round_kernel(
 
         return (x_after, res.chain_of, res.replica_of, rec), outputs
 
-    @partial(jax.jit, static_argnames=("n_scans",))
-    def round_kernel(
+    def run_round(
         master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params, n_scans
     ):
-        rec = init_recorders(n_chains, states.shape[1] + 1)
+        if axis is None:
+            gidx = jnp.arange(n_local)
+        else:
+            dev = jax.lax.axis_index(axis)
+            gidx = dev * n_local + jnp.arange(n_local)
+        rec = init_recorders(n_chains, states.shape[1] + 1, len(explorer.extra_names))
         body = partial(
             scan_body,
             master_key=master_key,
@@ -178,11 +231,42 @@ def _make_round_kernel(
             betas=betas,
             exp_state=exp_state,
             ref_params=ref_params,
+            gidx=gidx,
         )
         (states, chain_of, replica_of, rec), outputs = jax.lax.scan(
             body, (states, chain_of, replica_of, rec), jnp.arange(1, n_scans + 1)
         )
         return states, chain_of, replica_of, rec, outputs
+
+    @partial(jax.jit, static_argnames=("n_scans",))
+    def round_kernel(
+        master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params, n_scans
+    ):
+        def f(mk, ri, b, s, co, ro, es, rp):
+            return run_round(mk, ri, b, s, co, ro, es, rp, n_scans)
+
+        if n_replicates > 1:
+            # batch independent ladders; per-ladder keys/states/permutations
+            return jax.vmap(f, in_axes=(0, None, None, 0, 0, 0, None, None))(
+                master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+            )
+        if mesh is None:
+            return f(
+                master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+            )
+        from jax.sharding import PartitionSpec as P
+
+        R = P(mesh.axis)
+        wrapped = jax.shard_map(
+            f,
+            mesh=mesh.mesh,
+            in_specs=(P(), P(), P(), R, P(), P(), P(), P()),
+            out_specs=(R, P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return wrapped(
+            master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+        )
 
     return round_kernel
 
@@ -245,11 +329,36 @@ class PT:
 
         # replica state
         key = rng.master_key(inputs.seed)
-        self._key = key
-        init_keys = rng.replica_keys(jax.random.fold_in(key, rng.INIT), n)
-        self.states = jax.vmap(target.initialization)(init_keys).astype(jnp.float32)
-        self.chain_of = jnp.arange(n, dtype=jnp.int32)
-        self.replica_of = jnp.arange(n, dtype=jnp.int32)
+        R = inputs.n_replicates
+        self.n_replicates = R
+        if R > 1:
+            # R independent ladders: replicate r's streams derive from
+            # fold_in(master, r), so each ladder is a fresh deterministic run
+            self._key = jax.vmap(lambda r: jax.random.fold_in(key, r))(jnp.arange(R))
+            init_keys = jax.vmap(
+                lambda k: rng.replica_keys(jax.random.fold_in(k, rng.INIT), n)
+            )(self._key)
+            self.states = jax.vmap(jax.vmap(target.initialization))(init_keys).astype(
+                jnp.float32
+            )
+            self.chain_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), (R, 1))
+            self.replica_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), (R, 1))
+        else:
+            self._key = key
+            init_keys = rng.replica_keys(jax.random.fold_in(key, rng.INIT), n)
+            self.states = jax.vmap(target.initialization)(init_keys).astype(jnp.float32)
+            self.chain_of = jnp.arange(n, dtype=jnp.int32)
+            self.replica_of = jnp.arange(n, dtype=jnp.int32)
+
+        self.mesh = inputs.mesh
+        if self.mesh is not None:
+            if R > 1:
+                raise NotImplementedError(
+                    "n_replicates > 1 with a replica mesh is not supported yet; "
+                    "shard either the chain axis (mesh) or batch replicates"
+                )
+            self.mesh.validate(n)
+            self.states = self.mesh.shard_states(self.states)
 
         self.round_idx = 0
         self.reduced: Optional[ReducedRecorders] = None
@@ -266,6 +375,8 @@ class PT:
             record_index_process="index_process" in inputs.record,
             record_swap_stats=record_swap_stats,
             use_iid_reference=sample_ref is not None,
+            mesh=self.mesh,
+            n_replicates=R,
         )
 
     # ------------------------------------------------------------------
@@ -274,9 +385,10 @@ class PT:
     def betas(self) -> jax.Array:
         return jnp.asarray(self.schedule.grids, dtype=jnp.float32)
 
-    def run_round(self) -> ReducedRecorders:
+    def run_round(self, n_scans: Optional[int] = None) -> ReducedRecorders:
         self.round_idx += 1
-        n_scans = 2**self.round_idx
+        if n_scans is None:
+            n_scans = 2**self.round_idx
         t0 = time.perf_counter()
         states, chain_of, replica_of, rec, outputs = self._kernel(
             self._key,
@@ -293,9 +405,11 @@ class PT:
         wall = time.perf_counter() - t0
         self.states, self.chain_of, self.replica_of = states, chain_of, replica_of
         self.traces = np.asarray(outputs["trace"])
+        if self.n_replicates > 1:  # [R, n_scans, d+1] -> pooled [R*n_scans, d+1]
+            self.traces = self.traces.reshape(-1, self.traces.shape[-1])
         if "index_process" in outputs:
             self.index_process = np.asarray(outputs["index_process"])
-        reduced = reduce_recorders(rec)
+        reduced = reduce_recorders(rec, self.n_replicates)
         self.reduced = reduced
         self._adapt(reduced)
         self._report(reduced, n_scans, wall)

@@ -51,9 +51,13 @@ class Recorders(NamedTuple):
     exp_accept_sum: jax.Array
     exp_accept_n: jax.Array
     exp_steps: jax.Array
+    # explorer-specific per-chain stats [N, K] (e.g. AutoMALA am_factors /
+    # reversibility_rate — the analogue of opt-in recorder builders)
+    extra_sum: jax.Array
+    extra_n: jax.Array
 
 
-def init_recorders(n_chains: int, extract_dim: int) -> Recorders:
+def init_recorders(n_chains: int, extract_dim: int, n_extras: int = 0) -> Recorders:
     n, m = n_chains, max(n_chains - 1, 1)
     f = jnp.float32
     return Recorders(
@@ -73,6 +77,8 @@ def init_recorders(n_chains: int, extract_dim: int) -> Recorders:
         exp_accept_sum=jnp.zeros(n, f),
         exp_accept_n=jnp.zeros(n, f),
         exp_steps=jnp.zeros(n, f),
+        extra_sum=jnp.zeros((n, n_extras), f),
+        extra_n=jnp.zeros((n, n_extras), f),
     )
 
 
@@ -115,10 +121,42 @@ class ReducedRecorders(NamedTuple):
     energy_ac1: np.ndarray  # [N]
     exp_accept: np.ndarray  # [N]
     exp_steps: np.ndarray  # [N]
+    extra_mean: np.ndarray  # [N, K] per-chain means of explorer extras
+    extra_n: np.ndarray  # [N, K]
 
 
-def reduce_recorders(rec: Recorders) -> ReducedRecorders:
+def merge_replicates(host: Recorders) -> Recorders:
+    """Merge the leading replicate axis of a batched recorder pytree.
+
+    All accumulators are additive except the streaming logsumexps, which merge
+    with logaddexp (reference ``recorders/LogSum.jl`` merge), and the round-trip
+    machine state, which is per-ladder and not meaningfully poolable."""
+    return host._replace(
+        accept_sum=host.accept_sum.sum(0),
+        accept_n=host.accept_n.sum(0),
+        lsr_fwd=np.logaddexp.reduce(host.lsr_fwd, axis=0),
+        lsr_fwd_n=host.lsr_fwd_n.sum(0),
+        lsr_bwd=np.logaddexp.reduce(host.lsr_bwd, axis=0),
+        lsr_bwd_n=host.lsr_bwd_n.sum(0),
+        rt_state=host.rt_state[0],
+        rt_restarts=host.rt_restarts.sum(0),
+        rt_trips=host.rt_trips.sum(0),
+        online_n=host.online_n.sum(0),
+        online_sum=host.online_sum.sum(0),
+        online_sumsq=host.online_sumsq.sum(0),
+        energy=host.energy.sum(0),
+        exp_accept_sum=host.exp_accept_sum.sum(0),
+        exp_accept_n=host.exp_accept_n.sum(0),
+        exp_steps=host.exp_steps.sum(0),
+        extra_sum=host.extra_sum.sum(0),
+        extra_n=host.extra_n.sum(0),
+    )
+
+
+def reduce_recorders(rec: Recorders, n_replicates: int = 1) -> ReducedRecorders:
     host = jax.tree.map(lambda a: np.asarray(a, dtype=np.float64), rec)
+    if n_replicates > 1:
+        host = merge_replicates(host)
     with np.errstate(invalid="ignore", divide="ignore"):
         accept_mean = np.where(host.accept_n > 0, host.accept_sum / np.maximum(host.accept_n, 1), np.nan)
         n = host.online_n
@@ -134,6 +172,7 @@ def reduce_recorders(rec: Recorders) -> ReducedRecorders:
         cxy = en[:, 5] / cnt - mx * my
         ac1 = np.where((vx > 0) & (vy > 0), cxy / np.sqrt(np.maximum(vx * vy, 1e-300)), np.nan)
         exp_accept = np.where(host.exp_accept_n > 0, host.exp_accept_sum / np.maximum(host.exp_accept_n, 1), np.nan)
+        extra_mean = np.where(host.extra_n > 0, host.extra_sum / np.maximum(host.extra_n, 1), np.nan)
     return ReducedRecorders(
         accept_mean=accept_mean,
         accept_n=host.accept_n,
@@ -149,4 +188,6 @@ def reduce_recorders(rec: Recorders) -> ReducedRecorders:
         energy_ac1=ac1,
         exp_accept=exp_accept,
         exp_steps=host.exp_steps,
+        extra_mean=extra_mean,
+        extra_n=host.extra_n,
     )

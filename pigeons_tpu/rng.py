@@ -39,6 +39,13 @@ def replica_keys(key: jax.Array, n_replicas: int) -> jax.Array:
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_replicas))
 
 
+def keys_for(key: jax.Array, indices: jax.Array) -> jax.Array:
+    """Keys for an explicit vector of global replica indices — under a sharded
+    mesh each device derives the keys of its own shard, so the streams match
+    the single-device run bit-for-bit (layout invariance)."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(indices)
+
+
 def chain_key(key: jax.Array, chain_idx) -> jax.Array:
     """Key derived from a *chain* index (used for swap uniforms so that both
     members of a swap pair can derive the identical uniform; reference takes the

@@ -1,0 +1,65 @@
+"""Layout invariance: sharded runs must match single-device runs bit-for-bit.
+
+The analogue of the reference's flagship "parallelism invariance" guarantee
+(reference docs/src/distributed.md:39-44, test/test_parallelism_invariance.jl):
+the output of a run is identical for any machines x threads configuration.
+Here: identical for any replica-mesh device count, because RNG streams derive
+from global replica indices and cross-device combines only add exact zeros.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pigeons_tpu import Inputs, PT, SliceSampler, toy_mvn_target
+from pigeons_tpu.parallel import replica_mesh
+
+
+def run(mesh, explorer=None, n_chains=8, n_rounds=4, dim=3):
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(dim),
+            n_chains=n_chains,
+            n_rounds=n_rounds,
+            seed=5,
+            explorer=explorer,
+            show_report=False,
+            mesh=mesh,
+        )
+    )
+    pt.run()
+    return pt
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_bitwise_layout_invariance(n_devices):
+    serial = run(None)
+    mesh = replica_mesh(jax.devices()[:n_devices])
+    sharded = run(mesh)
+
+    assert np.array_equal(serial.sample_array(), sharded.sample_array())
+    np.testing.assert_array_equal(
+        np.asarray(serial.chain_of), np.asarray(sharded.chain_of)
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(serial.states), axis=0),
+        np.sort(np.asarray(sharded.states), axis=0),
+    )
+    assert serial.n_round_trips == sharded.n_round_trips
+    assert serial.n_tempered_restarts == sharded.n_tempered_restarts
+    assert serial.reports[-1].log_z_estimate == sharded.reports[-1].log_z_estimate
+    np.testing.assert_array_equal(serial.reduced.accept_mean, sharded.reduced.accept_mean)
+    np.testing.assert_array_equal(serial.reduced.energy_ac1, sharded.reduced.energy_ac1)
+
+
+def test_bitwise_invariance_slice_sampler():
+    serial = run(None, explorer=SliceSampler(n_passes=1))
+    sharded = run(replica_mesh(jax.devices()[:4]), explorer=SliceSampler(n_passes=1))
+    assert np.array_equal(serial.sample_array(), sharded.sample_array())
+    assert serial.reports[-1].log_z_estimate == sharded.reports[-1].log_z_estimate
+
+
+def test_indivisible_chain_count_rejected():
+    mesh = replica_mesh(jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        run(mesh, n_chains=6)
