@@ -27,6 +27,7 @@ from .ops import (
 from .paths import InterpolatingPath, ScaledPrecisionNormalPath, toy_mvn_path
 from .pt import PT, pigeons
 from .schedule import Schedule, equally_spaced_schedule
+from .variational import GaussianReference
 
 __version__ = "0.1.0"
 
@@ -53,6 +54,7 @@ __all__ = [
     "IdentityPreconditioner",
     "DiagonalPreconditioner",
     "MixDiagonalPreconditioner",
+    "GaussianReference",
     "InterpolatingPath",
     "ScaledPrecisionNormalPath",
     "toy_mvn_path",

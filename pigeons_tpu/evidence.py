@@ -12,7 +12,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def stepping_stone_pair_from_reduced(reduced) -> tuple[float, float]:
+def stepping_stone_pair_from_reduced(reduced, pair_mask=None) -> tuple[float, float]:
+    """``pair_mask`` restricts the sum to a subset of adjacent pairs — used by
+    2-leg PT to estimate on the variational leg only (reference
+    ``evidence/stepping_stone.jl:53-67``)."""
     with np.errstate(divide="ignore", invalid="ignore"):
         fwd = np.where(
             reduced.lsr_fwd_n > 0,
@@ -24,11 +27,14 @@ def stepping_stone_pair_from_reduced(reduced) -> tuple[float, float]:
             reduced.lsr_bwd - np.log(np.maximum(reduced.lsr_bwd_n, 1)),
             0.0,
         )
+        if pair_mask is not None:
+            fwd = np.where(pair_mask, fwd, 0.0)
+            bwd = np.where(pair_mask, bwd, 0.0)
     return float(np.sum(fwd)), float(-np.sum(bwd))
 
 
-def stepping_stone_from_reduced(reduced) -> float:
-    e1, e2 = stepping_stone_pair_from_reduced(reduced)
+def stepping_stone_from_reduced(reduced, pair_mask=None) -> float:
+    e1, e2 = stepping_stone_pair_from_reduced(reduced, pair_mask)
     if not np.isfinite(e1):
         return e2
     if not np.isfinite(e2):
@@ -37,8 +43,8 @@ def stepping_stone_from_reduced(reduced) -> float:
 
 
 def stepping_stone_pair(pt) -> tuple[float, float]:
-    return stepping_stone_pair_from_reduced(pt.reduced)
+    return stepping_stone_pair_from_reduced(pt.reduced, pt._stepping_stone_pair_mask())
 
 
 def stepping_stone(pt) -> float:
-    return stepping_stone_from_reduced(pt.reduced)
+    return stepping_stone_from_reduced(pt.reduced, pt._stepping_stone_pair_mask())

@@ -52,11 +52,12 @@ from .swaps import metropolis_accept_pr, swap_scan
 
 
 def _make_round_kernel(
-    path_log_density,  # (x, beta, ref_params) -> scalar
-    sample_reference,  # (key, ref_params) -> x, or None
+    path_log_density,  # (x, beta, is_var, ref_params) -> scalar
+    sample_reference,  # (key, is_var, ref_params) -> x, or None
     explorer,
     accept_fn,
     n_chains: int,
+    target_positions: tuple,  # static chain indices recording traces/moments
     record_index_process: bool,
     record_swap_stats: bool,
     use_iid_reference: bool,
@@ -87,41 +88,49 @@ def _make_round_kernel(
     def apsum(x):
         return x if axis is None else jax.lax.psum(x, axis)
 
-    def ld(x, beta, ref_params):
-        return path_log_density(x, beta, ref_params)
+    def ld(x, beta, isvar, ref_params):
+        return path_log_density(x, beta, isvar, ref_params)
 
-    v_ld = jax.vmap(ld, in_axes=(0, 0, None))
+    v_ld = jax.vmap(ld, in_axes=(0, 0, 0, None))
 
-    def scan_body(carry, scan_idx, master_key, round_idx, betas, exp_state, ref_params, gidx):
+    def scan_body(
+        carry, scan_idx, master_key, round_idx, betas, is_var, ref_mask, target_mask,
+        exp_state, ref_params, gidx
+    ):
         states, chain_of, replica_of, rec = carry
         n = n_chains
         chain_loc = chain_of[gidx]  # chains of this device's replicas
 
         # ---------------- explore ----------------
         betas_loc = betas[chain_loc]
-        lp_before = v_ld(states, betas_loc, ref_params)
+        isvar_loc = is_var[chain_loc]
+        lp_before = v_ld(states, betas_loc, isvar_loc, ref_params)
 
         k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
         keys = rng.keys_for(k_explore, gidx)
         chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
-        def one_step(key, x, lp0, beta, cp):
+        def one_step(key, x, lp0, beta, isvar, cp):
             return explorer.step(
-                key, x, lp0, lambda xx: ld(xx, beta, ref_params), beta, cp, scan_idx
+                key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params), beta, cp, scan_idx
             )
 
-        out = jax.vmap(one_step)(keys, states, lp_before, betas_loc, chain_params)
+        out = jax.vmap(one_step)(keys, states, lp_before, betas_loc, isvar_loc, chain_params)
         x_after = out.x
         lp_after = out.lp
 
-        is_ref_loc = (chain_loc == 0) & (n > 1)
+        is_ref_loc = ref_mask[chain_loc] & (n > 1)
 
         if use_iid_reference:
             k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
             iid_keys = rng.keys_for(k_iid, gidx)
-            iid = jax.vmap(lambda k: sample_reference(k, ref_params))(iid_keys)
+            iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
+                iid_keys, isvar_loc
+            )
             x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
-            lp_after = jnp.where(is_ref_loc, v_ld(iid, betas_loc, ref_params), lp_after)
+            lp_after = jnp.where(
+                is_ref_loc, v_ld(iid, betas_loc, isvar_loc, ref_params), lp_after
+            )
 
         # Per-chain recorder updates. Each chain is held by exactly one replica
         # (on one device), so the psum of the per-device scatter rows adds only
@@ -163,32 +172,38 @@ def _make_round_kernel(
                 extra_n=rec.extra_n + chain_update[:, 9 + n_extras :],
             )
 
-        # online moments + trace at the target chain (reference pigeons.jl:110-131):
-        # exactly one replica globally sits at the target chain, so the psum of
-        # the masked local sum reconstructs its extract bit-for-bit.
-        is_target_loc = chain_loc == n - 1
+        # online moments + trace at the target chain(s) (reference
+        # pigeons.jl:110-131; both leg targets record under 2-leg PT):
+        # exactly one replica globally sits at each target chain, so the psum
+        # of the masked local sum reconstructs its extract bit-for-bit.
         extract_loc = jnp.concatenate([x_after, lp_after[:, None]], axis=1)
-        extract = apsum(
-            jnp.sum(jnp.where(is_target_loc[:, None], extract_loc, 0.0), axis=0)
-        )
+        extracts = []
+        for tc in target_positions:
+            at_tc = chain_loc == tc
+            extracts.append(
+                apsum(jnp.sum(jnp.where(at_tc[:, None], extract_loc, 0.0), axis=0))
+            )
+        extract = jnp.stack(extracts)  # [T, d+1]
         rec = rec._replace(
-            online_n=rec.online_n + 1.0,
-            online_sum=rec.online_sum + extract,
-            online_sumsq=rec.online_sumsq + extract**2,
+            online_n=rec.online_n + float(len(target_positions)),
+            online_sum=rec.online_sum + jnp.sum(extract, axis=0),
+            online_sumsq=rec.online_sumsq + jnp.sum(extract**2, axis=0),
         )
 
         # ---------------- communicate ----------------
         # round-trip + index process recorded with the PRE-swap chain
         # (reference swap.jl:106-126); replicated [N] computation
-        is_ref_all = (chain_of == 0) & (n > 1)
-        is_target_all = chain_of == n - 1
+        is_ref_all = ref_mask[chain_of] & (n > 1)
+        is_target_all = target_mask[chain_of]
         rec = update_round_trips(rec, is_ref_all, is_target_all)
 
         from .swaps import deo_partner_map
 
         partner_map = deo_partner_map(n, scan_idx)
         partner_chain_loc = partner_map[chain_loc]
-        lp_partner = v_ld(x_after, betas[partner_chain_loc], ref_params)
+        lp_partner = v_ld(
+            x_after, betas[partner_chain_loc], is_var[partner_chain_loc], ref_params
+        )
         log_ratio = agather(lp_partner - lp_after)  # [N] in global replica order
 
         k_swap = rng.scan_key(master_key, round_idx, scan_idx, rng.SWAP_UNIFORM)
@@ -216,7 +231,7 @@ def _make_round_kernel(
         return (x_after, res.chain_of, res.replica_of, rec), outputs
 
     def run_round(
-        master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params, n_scans
+        master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params, n_scans
     ):
         if axis is None:
             gidx = jnp.arange(n_local)
@@ -228,7 +243,10 @@ def _make_round_kernel(
             scan_body,
             master_key=master_key,
             round_idx=round_idx,
-            betas=betas,
+            betas=ladder["betas"],
+            is_var=ladder["is_var"],
+            ref_mask=ladder["ref_mask"],
+            target_mask=ladder["target_mask"],
             exp_state=exp_state,
             ref_params=ref_params,
             gidx=gidx,
@@ -240,7 +258,7 @@ def _make_round_kernel(
 
     @partial(jax.jit, static_argnames=("n_scans",))
     def round_kernel(
-        master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params, n_scans
+        master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params, n_scans
     ):
         def f(mk, ri, b, s, co, ro, es, rp):
             return run_round(mk, ri, b, s, co, ro, es, rp, n_scans)
@@ -248,11 +266,11 @@ def _make_round_kernel(
         if n_replicates > 1:
             # batch independent ladders; per-ladder keys/states/permutations
             return jax.vmap(f, in_axes=(0, None, None, 0, 0, 0, None, None))(
-                master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+                master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
             )
         if mesh is None:
             return f(
-                master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+                master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
             )
         from jax.sharding import PartitionSpec as P
 
@@ -265,7 +283,7 @@ def _make_round_kernel(
             check_vma=False,
         )
         return wrapped(
-            master_key, round_idx, betas, states, chain_of, replica_of, exp_state, ref_params
+            master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
         )
 
     return round_kernel
@@ -282,10 +300,20 @@ class RoundReport:
     min_swap_accept: float
     mean_swap_accept: float
     wall_time_s: float
+    global_barrier_variational: float = float("nan")
 
 
 class PT:
-    """Run state + driver (reference ``src/pt/PT.jl``, ``src/pt/pigeons.jl``)."""
+    """Run state + driver (reference ``src/pt/PT.jl``, ``src/pt/pigeons.jl``).
+
+    Chain layout (0-indexed): with a single leg, chains 0..N-1 run beta
+    increasing from the reference (0) to the target (N-1). With two legs
+    (stabilized variational PT, reference ``src/tempering/StabilizedPT.jl``),
+    chains 0..n_var-1 form the variational leg (variational reference at 0,
+    target at n_var-1) and chains n_var..N-1 the fixed leg REVERSED (target at
+    n_var, fixed reference at N-1); both references regenerate iid and the two
+    middle chains are both targets (``create_replica_indexer`` diagram).
+    """
 
     def __init__(self, inputs: Inputs):
         self.inputs = inputs
@@ -294,7 +322,22 @@ class PT:
             raise ValueError(
                 "Inputs.target is required, e.g. pigeons(target=toy_mvn_target(10))"
             )
-        n = inputs.n_chains
+        self.n_chains_fixed = inputs.n_chains
+        self.n_chains_var = inputs.n_chains_variational
+        self.variational = inputs.variational
+        if self.n_chains_var > 0 and self.variational is None:
+            from .variational import GaussianReference
+
+            self.variational = GaussianReference()
+        self.two_leg = self.n_chains_fixed > 0 and self.n_chains_var > 0
+        if self.n_chains_var > 0 and self.n_chains_fixed == 0:
+            # single variational leg (reference tempering.jl:65-70 picks
+            # NonReversiblePT whose reference is updated between rounds)
+            self.n_chains_fixed, self.n_chains_var = self.n_chains_var, 0
+            self.single_leg_variational = True
+        else:
+            self.single_leg_variational = self.variational is not None and not self.two_leg
+        n = self.n_chains_fixed + self.n_chains_var
         self.n_chains = n
 
         # assemble the annealing path
@@ -302,15 +345,44 @@ class PT:
         self.reference = reference
         path = target.create_path(reference)
         self.path = path
-        self._ref_params = ()  # replaced when a variational reference activates
 
-        def path_log_density(x, beta, ref_params):
-            del ref_params
-            return path.log_density(x, beta)
+        variational = self.variational
+        if variational is not None:
+            self._ref_params = variational.init_params(target.dim)
+
+            def path_log_density(x, beta, isvar, ref_params):
+                # the variational leg's reference is the fitted Gaussian once
+                # active; the fixed leg (and pre-activation) uses `path`
+                l_fixed = path.log_density(x, beta)
+                l_var_ref = variational.log_density(x, ref_params)
+                l_target = path.log_density(x, jnp.ones_like(beta))
+                from .paths import _guarded_mul
+
+                l_var = _guarded_mul(1.0 - beta, l_var_ref) + _guarded_mul(
+                    beta, l_target
+                )
+                use_var = (isvar > 0) & (ref_params["active"] > 0)
+                return jnp.where(use_var, l_var, l_fixed)
+
+        else:
+            self._ref_params = ()
+
+            def path_log_density(x, beta, isvar, ref_params):
+                del isvar, ref_params
+                return path.log_density(x, beta)
 
         sample_ref = None
         if getattr(path, "has_iid_reference", False):
-            sample_ref = lambda key, ref_params: path.sample_reference(key)
+            if variational is not None:
+
+                def sample_ref(key, isvar, ref_params):
+                    fixed = path.sample_reference(key)
+                    var = variational.sample(key, ref_params)
+                    use_var = (isvar > 0) & (ref_params["active"] > 0)
+                    return jnp.where(use_var, var, fixed)
+
+            else:
+                sample_ref = lambda key, isvar, ref_params: path.sample_reference(key)
         self._path_log_density = path_log_density
         self._sample_reference = sample_ref
 
@@ -324,8 +396,14 @@ class PT:
             record_swap_stats = False  # reference pair_swapper.jl:133-135
         self.accept_fn = accept_fn
 
-        self.schedule: Schedule = equally_spaced_schedule(n)
+        if self.two_leg:
+            self.schedule = equally_spaced_schedule(self.n_chains_fixed)
+            self.schedule_var = equally_spaced_schedule(self.n_chains_var)
+        else:
+            self.schedule = equally_spaced_schedule(n)
+            self.schedule_var = None
         self.barriers: Optional[CommunicationBarriers] = None
+        self.barriers_var: Optional[CommunicationBarriers] = None
 
         # replica state
         key = rng.master_key(inputs.seed)
@@ -366,12 +444,19 @@ class PT:
         self.traces = None  # last round's target-chain samples [n_scans, d+1]
         self.index_process = None
 
+        if self.two_leg:
+            # targets sit at the junction of the legs (StabilizedPT.jl diagram)
+            self.target_positions = (self.n_chains_var - 1, self.n_chains_var)
+        else:
+            self.target_positions = (n - 1,)
+
         self._kernel = _make_round_kernel(
             path_log_density,
             sample_ref,
             self.explorer,
             accept_fn,
             n,
+            target_positions=self.target_positions,
             record_index_process="index_process" in inputs.record,
             record_swap_stats=record_swap_stats,
             use_iid_reference=sample_ref is not None,
@@ -383,7 +468,34 @@ class PT:
 
     @property
     def betas(self) -> jax.Array:
+        """Per-chain annealing parameters for the combined ladder."""
+        if self.two_leg:
+            return jnp.asarray(
+                np.concatenate([self.schedule_var.grids, self.schedule.grids[::-1]]),
+                dtype=jnp.float32,
+            )
         return jnp.asarray(self.schedule.grids, dtype=jnp.float32)
+
+    def _ladder(self) -> dict:
+        n = self.n_chains
+        is_var = np.zeros(n, np.float32)
+        ref_mask = np.zeros(n, bool)
+        target_mask = np.zeros(n, bool)
+        if self.two_leg:
+            is_var[: self.n_chains_var] = 1.0
+            ref_mask[0] = ref_mask[n - 1] = True
+            target_mask[self.n_chains_var - 1] = target_mask[self.n_chains_var] = True
+        else:
+            if self.single_leg_variational:
+                is_var[:] = 1.0
+            ref_mask[0] = True
+            target_mask[n - 1] = True
+        return {
+            "betas": self.betas,
+            "is_var": jnp.asarray(is_var),
+            "ref_mask": jnp.asarray(ref_mask),
+            "target_mask": jnp.asarray(target_mask),
+        }
 
     def run_round(self, n_scans: Optional[int] = None) -> ReducedRecorders:
         self.round_idx += 1
@@ -393,7 +505,7 @@ class PT:
         states, chain_of, replica_of, rec, outputs = self._kernel(
             self._key,
             jnp.asarray(self.round_idx),
-            self.betas,
+            self._ladder(),
             self.states,
             self.chain_of,
             self.replica_of,
@@ -404,9 +516,10 @@ class PT:
         states.block_until_ready()
         wall = time.perf_counter() - t0
         self.states, self.chain_of, self.replica_of = states, chain_of, replica_of
-        self.traces = np.asarray(outputs["trace"])
-        if self.n_replicates > 1:  # [R, n_scans, d+1] -> pooled [R*n_scans, d+1]
-            self.traces = self.traces.reshape(-1, self.traces.shape[-1])
+        # trace shape: [(R,)? n_scans, T, d+1] -> pooled [iterations, d+1]
+        self.traces = np.asarray(outputs["trace"]).reshape(
+            -1, np.asarray(outputs["trace"]).shape[-1]
+        )
         if "index_process" in outputs:
             self.index_process = np.asarray(outputs["index_process"])
         reduced = reduce_recorders(rec, self.n_replicates)
@@ -416,16 +529,48 @@ class PT:
         return reduced
 
     def _adapt(self, reduced: ReducedRecorders) -> None:
-        if self.n_chains > 1:
-            rej = rejections_from_acceptance(
-                np.nan_to_num(reduced.accept_mean, nan=0.5), reduced.accept_n
-            )
-            self.barriers = communication_barriers(rej, self.schedule.grids)
-            self.schedule = optimal_schedule(rej, self.schedule.grids)
+        rej_all = rejections_from_acceptance(
+            np.nan_to_num(reduced.accept_mean, nan=0.5), reduced.accept_n
+        )
+        if self.two_leg:
+            # per-leg schedule adaptation over each leg's own pairs; the
+            # target-target junction pair is excluded from both (reference
+            # StabilizedPT.jl:52-62 via leg index slices)
+            n_var, n = self.n_chains_var, self.n_chains
+            rej_var = rej_all[: n_var - 1]
+            # fixed-leg pairs in increasing-beta order = reversed global slice
+            rej_fixed = rej_all[n_var : n - 1][::-1]
+            trivial = communication_barriers([0.0], [0.0, 1.0])
+            if n_var > 1:
+                self.barriers_var = communication_barriers(rej_var, self.schedule_var.grids)
+                self.schedule_var = optimal_schedule(rej_var, self.schedule_var.grids)
+            else:  # a 1-chain leg has no pairs to adapt
+                self.barriers_var = trivial
+            if self.n_chains_fixed > 1:
+                self.barriers = communication_barriers(rej_fixed, self.schedule.grids)
+                self.schedule = optimal_schedule(rej_fixed, self.schedule.grids)
+            else:
+                self.barriers = trivial
+        elif self.n_chains > 1:
+            self.barriers = communication_barriers(rej_all, self.schedule.grids)
+            self.schedule = optimal_schedule(rej_all, self.schedule.grids)
         else:
             # single chain: no pairs, no barrier, schedule stays [1.0]
             self.barriers = communication_barriers([0.0], [0.0, 1.0])
+        if self.variational is not None:
+            self._ref_params = self.variational.fit(
+                self._ref_params, reduced, self.round_idx
+            )
         self.exp_state = self.explorer.adapt(self.exp_state, reduced, self.round_idx)
+
+    def _stepping_stone_pair_mask(self) -> Optional[np.ndarray]:
+        """2-leg runs estimate log Z on the variational leg only (reference
+        ``evidence/stepping_stone.jl:53-67``: lower KL => lower error)."""
+        if not self.two_leg:
+            return None
+        mask = np.zeros(self.n_chains - 1, bool)
+        mask[: self.n_chains_var - 1] = True
+        return mask
 
     def _report(self, reduced: ReducedRecorders, n_scans: int, wall: float) -> None:
         from .evidence import stepping_stone_from_reduced
@@ -440,21 +585,30 @@ class PT:
             n_tempered_restarts=reduced.n_tempered_restarts,
             n_round_trips=reduced.n_round_trips,
             global_barrier=self.barriers.global_barrier,
-            log_z_estimate=stepping_stone_from_reduced(reduced),
+            log_z_estimate=stepping_stone_from_reduced(
+                reduced, self._stepping_stone_pair_mask()
+            ),
             min_swap_accept=min_acc,
             mean_swap_accept=mean_acc,
             wall_time_s=wall,
+            global_barrier_variational=(
+                self.barriers_var.global_barrier if self.barriers_var else float("nan")
+            ),
         )
         self.reports.append(report)
         if self.inputs.show_report:
+            var_col = f" {'Λ_var':>7}" if self.two_leg else ""
             if self.round_idx == 1:
                 print(
                     f"{'round':>5} {'scans':>6} {'restarts':>8} {'trips':>6} "
-                    f"{'Λ':>7} {'logZ':>9} {'min(α)':>7} {'mean(α)':>7} {'time(s)':>8}"
+                    f"{'Λ':>7}{var_col} {'logZ':>9} {'min(α)':>7} {'mean(α)':>7} {'time(s)':>8}"
                 )
+            var_val = (
+                f" {report.global_barrier_variational:>7.3f}" if self.two_leg else ""
+            )
             print(
                 f"{report.round_idx:>5} {report.n_scans:>6} {report.n_tempered_restarts:>8} "
-                f"{report.n_round_trips:>6} {report.global_barrier:>7.3f} "
+                f"{report.n_round_trips:>6} {report.global_barrier:>7.3f}{var_val} "
                 f"{report.log_z_estimate:>9.3f} {report.min_swap_accept:>7.3f} "
                 f"{report.mean_swap_accept:>7.3f} {report.wall_time_s:>8.3f}"
             )
@@ -491,7 +645,14 @@ class PT:
 
     @property
     def global_barrier(self) -> float:
+        """Barrier to the fixed reference (reference ``tempering.jl:50-57``)."""
         return self.barriers.global_barrier
+
+    @property
+    def global_barrier_variational(self) -> float:
+        if self.barriers_var is None:
+            raise ValueError("no variational leg in this run")
+        return self.barriers_var.global_barrier
 
 
 def pigeons(target=None, **kwargs) -> PT:

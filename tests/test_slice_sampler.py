@@ -15,7 +15,7 @@ def _run_batch(lp_fn, x0, key, n_steps=1, **kwargs):
     def one(key, x):
         def body(i, carry):
             x, lp = carry
-            out = sl.step(jax.random.fold_in(key, i), x, lp, lp_fn, 1.0, ())
+            out = sl.step(jax.random.fold_in(key, i), x, lp, lp_fn, 1.0, (), 1)
             return (out.x, out.lp)
 
         lp0 = lp_fn(x)
