@@ -1,0 +1,154 @@
+"""Checkpoint / resume: every round's full run state on disk.
+
+Reference semantics (``src/pt/checkpoint.jl``): each round writes
+``round=r/checkpoint/`` with replica states, shared state, reduced recorders
+and inputs; a run can resume from a folder (``PT(folder)``), INCLUDING with a
+different process count than the one that wrote it (elastic, ``:10-13``);
+``increment_n_rounds!`` extends a finished run; ``results/all/<id>`` exec
+folders with a ``results/latest`` symlink (``src/utils/exec_folder.jl``).
+
+TPU-native layout: one ``checkpoint.npz`` of globally-indexed arrays plus a
+pickled config per round. Because all state is indexed by global replica and
+RNG streams derive from (seed, round, scan, replica), a checkpoint written
+under any replica-mesh layout resumes bitwise-identically under any other —
+the mesh is a load-time parameter, not part of the checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+import uuid
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def next_exec_folder(base: str = "results") -> str:
+    """Timestamped run folder + ``results/latest`` symlink
+    (reference ``utils/exec_folder.jl:8-23``)."""
+    stamp = time.strftime("%Y-%m-%d-%H-%M-%S") + "-" + uuid.uuid4().hex[:8]
+    folder = os.path.join(base, "all", stamp)
+    os.makedirs(folder, exist_ok=True)
+    latest = os.path.join(base, "latest")
+    try:
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.remove(latest)
+        os.symlink(os.path.relpath(folder, base), latest)
+    except OSError:
+        pass  # symlinks best-effort (e.g. on restrictive filesystems)
+    return folder
+
+
+def round_folder(exec_folder: str, round_idx: int) -> str:
+    return os.path.join(exec_folder, f"round={round_idx}", "checkpoint")
+
+
+def latest_checkpoint_round(exec_folder: str) -> Optional[int]:
+    """Largest round with a COMPLETE checkpoint (reference scans the
+    ``.signal`` completion markers, ``checkpoint.jl:57-91``)."""
+    best = None
+    if not os.path.isdir(exec_folder):
+        return None
+    for name in os.listdir(exec_folder):
+        if name.startswith("round="):
+            r = int(name.split("=")[1])
+            if os.path.exists(os.path.join(round_folder(exec_folder, r), ".finished")):
+                best = r if best is None else max(best, r)
+    return best
+
+
+def write_checkpoint(pt) -> str:
+    """Serialize the full run state for pt's current round."""
+    folder = round_folder(pt.exec_folder, pt.round_idx)
+    os.makedirs(folder, exist_ok=True)
+
+    arrays = {
+        "states": np.asarray(pt.states),
+        "chain_of": np.asarray(pt.chain_of),
+        "replica_of": np.asarray(pt.replica_of),
+        "schedule": np.asarray(pt.schedule.grids),
+    }
+    if pt.schedule_var is not None:
+        arrays["schedule_var"] = np.asarray(pt.schedule_var.grids)
+    for i, leaf in enumerate(jax.tree.leaves(pt.exp_state)):
+        arrays[f"exp_state_{i}"] = np.asarray(leaf)
+    if pt._ref_params != ():
+        for k, v in pt._ref_params.items():
+            arrays[f"ref_params_{k}"] = np.asarray(v)
+    np.savez(os.path.join(folder, "checkpoint.npz"), **arrays)
+
+    # config + host-side state (inputs minus the non-picklable mesh)
+    inputs = dataclasses.replace(pt.inputs, mesh=None)
+    meta = {
+        "inputs": inputs,
+        "round_idx": pt.round_idx,
+        "reports": pt.reports,
+        "reduced": pt.reduced,
+        "barriers": pt.barriers,
+        "barriers_var": pt.barriers_var,
+        "exp_state_treedef": jax.tree.structure(pt.exp_state),
+    }
+    with open(os.path.join(folder, "meta.pkl"), "wb") as f:
+        pickle.dump(meta, f)
+    # completion marker written last (reference .signal files)
+    with open(os.path.join(folder, ".finished"), "w") as f:
+        f.write("ok")
+    return folder
+
+
+def load_pt(exec_folder: str, mesh=None, round_idx: Optional[int] = None):
+    """Rebuild a PT from a checkpoint folder; the replica mesh (if any) is
+    supplied at load time — elastic across device layouts
+    (reference ``checkpoint.jl:10-13``)."""
+    from .pt import PT
+    from .schedule import Schedule
+
+    if round_idx is None:
+        round_idx = latest_checkpoint_round(exec_folder)
+    if round_idx is None:
+        raise FileNotFoundError(f"no complete checkpoint under {exec_folder}")
+    folder = round_folder(exec_folder, round_idx)
+    with open(os.path.join(folder, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    arrays = np.load(os.path.join(folder, "checkpoint.npz"))
+
+    inputs = meta["inputs"]
+    inputs.mesh = mesh
+    pt = PT(inputs)
+    pt.exec_folder = exec_folder
+    pt.round_idx = meta["round_idx"]
+    pt.reports = meta["reports"]
+    pt.reduced = meta["reduced"]
+    pt.barriers = meta["barriers"]
+    pt.barriers_var = meta["barriers_var"]
+    states = jnp.asarray(arrays["states"])
+    pt.states = mesh.shard_states(states) if mesh is not None else states
+    pt.chain_of = jnp.asarray(arrays["chain_of"])
+    pt.replica_of = jnp.asarray(arrays["replica_of"])
+    pt.schedule = Schedule(arrays["schedule"])
+    if "schedule_var" in arrays:
+        pt.schedule_var = Schedule(arrays["schedule_var"])
+    leaves = []
+    i = 0
+    while f"exp_state_{i}" in arrays:
+        leaves.append(jnp.asarray(arrays[f"exp_state_{i}"]))
+        i += 1
+    pt.exp_state = jax.tree.unflatten(meta["exp_state_treedef"], leaves)
+    if pt._ref_params != ():
+        pt._ref_params = {
+            k: jnp.asarray(arrays[f"ref_params_{k}"]) for k in pt._ref_params
+        }
+    return pt
+
+
+def increment_n_rounds(exec_folder: str, extra_rounds: int, mesh=None):
+    """Extend a finished run by ``extra_rounds`` (reference
+    ``checkpoint.jl:166-189``)."""
+    pt = load_pt(exec_folder, mesh=mesh)
+    pt.inputs.n_rounds = pt.round_idx + extra_rounds
+    return pt

@@ -28,6 +28,9 @@ class Inputs:
     variational: Optional[Any] = None
     checkpoint: bool = False
     checkpoint_folder: Optional[str] = None
+    # Reference checks.jl: at this round, re-run serially from scratch and
+    # require bitwise agreement (0 disables the check).
+    checked_round: int = 0
     record: Sequence[str] = field(default_factory=lambda: RECORD_DEFAULT)
     explorer: Optional[Any] = None
     show_report: bool = True

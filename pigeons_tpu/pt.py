@@ -443,6 +443,11 @@ class PT:
         self.reports: list[RoundReport] = []
         self.traces = None  # last round's target-chain samples [n_scans, d+1]
         self.index_process = None
+        self.exec_folder: Optional[str] = None
+        if inputs.checkpoint:
+            from .checkpoint import next_exec_folder
+
+            self.exec_folder = inputs.checkpoint_folder or next_exec_folder()
 
         if self.two_leg:
             # targets sit at the junction of the legs (StabilizedPT.jl diagram)
@@ -526,6 +531,10 @@ class PT:
         self.reduced = reduced
         self._adapt(reduced)
         self._report(reduced, n_scans, wall)
+        if self.inputs.checkpoint:
+            from .checkpoint import write_checkpoint
+
+            write_checkpoint(self)
         return reduced
 
     def _adapt(self, reduced: ReducedRecorders) -> None:
@@ -614,8 +623,13 @@ class PT:
             )
 
     def run(self) -> "PT":
+        from .checks import check_against_serial, preflight_checks
+
+        preflight_checks(self.inputs)
         while self.round_idx < self.inputs.n_rounds:
             self.run_round()
+            if self.round_idx == self.inputs.checked_round:
+                check_against_serial(self)
         return self
 
     # ------------------------------------------------------------------
@@ -656,9 +670,15 @@ class PT:
 
 
 def pigeons(target=None, **kwargs) -> PT:
-    """Main entry point (reference ``src/submission/api.jl``)."""
+    """Main entry point (reference ``src/submission/api.jl``). Accepts a
+    target, an ``Inputs``, or a checkpoint folder path to resume
+    (reference ``api.jl:8``: ``pigeons("results/latest")``)."""
     if isinstance(target, Inputs):
         inputs = target
+    elif isinstance(target, str):
+        from .checkpoint import load_pt
+
+        return load_pt(target, mesh=kwargs.pop("mesh", None)).run()
     else:
         inputs = Inputs(target=target, **kwargs)
     return PT(inputs).run()

@@ -1,0 +1,113 @@
+"""Checkpoint/resume tests (reference test/test_resume.jl, test_checkpoint.jl)."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pigeons_tpu import AutoMALA, Inputs, PT, pigeons, toy_mvn_target
+from pigeons_tpu.checkpoint import increment_n_rounds, latest_checkpoint_round, load_pt
+from pigeons_tpu.checks import ParallelismInvarianceError, check_against_serial
+from pigeons_tpu.parallel import replica_mesh
+
+
+def make_inputs(tmp, **kw):
+    base = dict(
+        target=toy_mvn_target(3),
+        n_chains=4,
+        n_rounds=6,
+        seed=3,
+        checkpoint=True,
+        checkpoint_folder=os.path.join(tmp, "run"),
+        show_report=False,
+    )
+    base.update(kw)
+    return Inputs(**base)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """A run interrupted at round 3 and resumed matches the uninterrupted run
+    bit-for-bit (determinism anchor for elastic recovery)."""
+    tmp = str(tmp_path)
+    full = PT(make_inputs(tmp, checkpoint=False)).run()
+
+    part = PT(make_inputs(tmp))
+    for _ in range(3):
+        part.run_round()
+    assert latest_checkpoint_round(os.path.join(tmp, "run")) == 3
+
+    resumed = load_pt(os.path.join(tmp, "run"))
+    assert resumed.round_idx == 3
+    resumed.run()
+    assert np.array_equal(full.sample_array(), resumed.sample_array())
+    np.testing.assert_array_equal(np.asarray(full.states), np.asarray(resumed.states))
+    assert full.reports[-1].log_z_estimate == resumed.reports[-1].log_z_estimate
+
+
+def test_resume_across_device_layouts(tmp_path):
+    """Checkpoint written single-device resumes on a 4-device mesh with
+    identical output (reference checkpoint.jl:10-13 elasticity)."""
+    tmp = str(tmp_path)
+    full = PT(make_inputs(tmp, checkpoint=False)).run()
+
+    part = PT(make_inputs(tmp))
+    for _ in range(2):
+        part.run_round()
+    mesh = replica_mesh(jax.devices()[:4])
+    resumed = load_pt(os.path.join(tmp, "run"), mesh=mesh)
+    resumed.run()
+    assert np.array_equal(full.sample_array(), resumed.sample_array())
+
+
+def test_resume_restores_explorer_state(tmp_path):
+    tmp = str(tmp_path)
+    pt = PT(make_inputs(tmp, explorer=AutoMALA()))
+    for _ in range(4):
+        pt.run_round()
+    resumed = load_pt(os.path.join(tmp, "run"))
+    np.testing.assert_array_equal(
+        np.asarray(pt.exp_state["step_size"]), np.asarray(resumed.exp_state["step_size"])
+    )
+
+
+def test_increment_n_rounds(tmp_path):
+    tmp = str(tmp_path)
+    PT(make_inputs(tmp, n_rounds=3)).run()
+    pt = increment_n_rounds(os.path.join(tmp, "run"), 2)
+    pt.run()
+    assert pt.round_idx == 5
+
+
+def test_pigeons_resume_entry(tmp_path):
+    tmp = str(tmp_path)
+    PT(make_inputs(tmp, n_rounds=3)).run()
+    pt = pigeons(os.path.join(tmp, "run"))  # no more rounds -> returns as-is
+    assert pt.round_idx == 3
+
+
+def test_checked_round_passes():
+    pt = pigeons(
+        target=toy_mvn_target(2), n_chains=3, n_rounds=3, checked_round=2,
+        seed=1, show_report=False,
+    )
+    assert pt.round_idx == 3
+
+
+def test_checked_round_on_mesh():
+    mesh = replica_mesh(jax.devices()[:2])
+    pt = pigeons(
+        target=toy_mvn_target(2), n_chains=4, n_rounds=3, checked_round=2,
+        seed=1, mesh=mesh, show_report=False,
+    )
+    assert pt.round_idx == 3
+
+
+def test_check_against_serial_detects_mutation():
+    """Negative control (reference test_parallelism_invariance.jl:76-88)."""
+    pt = pigeons(target=toy_mvn_target(2), n_chains=3, n_rounds=2, seed=1,
+                 show_report=False)
+    pt.states = pt.states.at[0, 0].add(1.0)
+    with pytest.raises(ParallelismInvarianceError):
+        check_against_serial(pt)
