@@ -10,7 +10,20 @@ fixed-shape statistics. See SURVEY.md at the repo root for the reference map.
 from .adaptation import communication_barriers, optimal_schedule
 from .evidence import stepping_stone, stepping_stone_pair
 from .inputs import Inputs
-from .models import TestSwapper, toy_mvn_target
+from .models import (
+    BayesianModel,
+    TestSwapper,
+    banana,
+    bernoulli_target,
+    eight_schools,
+    funnel,
+    hierarchical_normal,
+    logistic_regression,
+    mrna_target,
+    mvn_target,
+    toy_mvn_target,
+    unid_target,
+)
 from .ops import (
     AAPS,
     AutoMALA,
@@ -43,6 +56,16 @@ __all__ = [
     "stepping_stone_pair",
     "toy_mvn_target",
     "TestSwapper",
+    "BayesianModel",
+    "banana",
+    "bernoulli_target",
+    "eight_schools",
+    "funnel",
+    "hierarchical_normal",
+    "logistic_regression",
+    "mrna_target",
+    "mvn_target",
+    "unid_target",
     "SliceSampler",
     "ToyExplorer",
     "NoOpExplorer",

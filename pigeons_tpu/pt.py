@@ -89,7 +89,11 @@ def _make_round_kernel(
         return x if axis is None else jax.lax.psum(x, axis)
 
     def ld(x, beta, isvar, ref_params):
-        return path_log_density(x, beta, isvar, ref_params)
+        # NaN densities (outside-support evaluations) become -inf so the
+        # kernels reject instead of freezing (reference log_potentials.jl
+        # NaN guard; DynamicPPL ext DomainError -> -Inf)
+        lp = path_log_density(x, beta, isvar, ref_params)
+        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
     v_ld = jax.vmap(ld, in_axes=(0, 0, 0, None))
 
