@@ -75,6 +75,12 @@ def write_checkpoint(pt) -> str:
     }
     if pt.schedule_var is not None:
         arrays["schedule_var"] = np.asarray(pt.schedule_var.grids)
+    if pt.traces is not None:
+        # the traces recorder is checkpointed in the reference too (part of
+        # the replicas' recorders, checkpoint.jl:110-145)
+        arrays["traces"] = pt.traces
+    if pt.index_process is not None:
+        arrays["index_process"] = pt.index_process
     for i, leaf in enumerate(jax.tree.leaves(pt.exp_state)):
         arrays[f"exp_state_{i}"] = np.asarray(leaf)
     if pt._ref_params != ():
@@ -133,6 +139,10 @@ def load_pt(exec_folder: str, mesh=None, round_idx: Optional[int] = None):
     pt.schedule = Schedule(arrays["schedule"])
     if "schedule_var" in arrays:
         pt.schedule_var = Schedule(arrays["schedule_var"])
+    if "traces" in arrays:
+        pt.traces = arrays["traces"]
+    if "index_process" in arrays:
+        pt.index_process = arrays["index_process"]
     leaves = []
     i = 0
     while f"exp_state_{i}" in arrays:
@@ -144,6 +154,42 @@ def load_pt(exec_folder: str, mesh=None, round_idx: Optional[int] = None):
             k: jnp.asarray(arrays[f"ref_params_{k}"]) for k in pt._ref_params
         }
     return pt
+
+
+def write_samples(pt, outputs) -> str:
+    """Disk recorder: persist the round's traces under ``round=r/samples/``
+    (reference ``recorders/DiskRecorder.jl`` zip archives)."""
+    folder = os.path.join(pt.exec_folder, f"round={pt.round_idx}", "samples")
+    os.makedirs(folder, exist_ok=True)
+    arrays = {"trace": np.asarray(outputs["trace"])}
+    if "extended_trace" in outputs:
+        arrays["extended_trace"] = np.asarray(outputs["extended_trace"])
+    if "index_process" in outputs:
+        arrays["index_process"] = np.asarray(outputs["index_process"])
+    np.savez_compressed(os.path.join(folder, "samples.npz"), **arrays)
+    return folder
+
+
+def process_sample(exec_folder: str, round_idx: Optional[int] = None):
+    """Stream disk-recorded samples: yields (round_idx, scan_idx, extract)
+    over the target-chain samples of the given round (default: all rounds),
+    reference ``pt/process_sample.jl:131-182``."""
+    rounds = []
+    if round_idx is not None:
+        rounds = [round_idx]
+    else:
+        for name in sorted(os.listdir(exec_folder)):
+            if name.startswith("round="):
+                rounds.append(int(name.split("=")[1]))
+        rounds.sort()
+    for r in rounds:
+        path = os.path.join(exec_folder, f"round={r}", "samples", "samples.npz")
+        if not os.path.exists(path):
+            continue
+        trace = np.load(path)["trace"]
+        flat = trace.reshape(-1, trace.shape[-1])
+        for i, row in enumerate(flat):
+            yield r, i, row
 
 
 def increment_n_rounds(exec_folder: str, extra_rounds: int, mesh=None):

@@ -58,6 +58,13 @@ class Funnel(Target):
     def default_reference(self) -> Reference:
         return StandardNormalReference(self.dim, sigma=3.0).as_reference()
 
+    def sample_iid_target(self, key):
+        """Forward simulation (enables the exact invariance test)."""
+        ky, kx = jax.random.split(key)
+        y = 3.0 * jax.random.normal(ky)
+        x = jnp.exp(y / self.scale) * jax.random.normal(kx, (self.n_x,))
+        return jnp.concatenate([y[None], x])
+
 
 @dataclass(frozen=True)
 class Banana(Target):
@@ -81,6 +88,15 @@ class Banana(Target):
 
     def default_reference(self) -> Reference:
         return StandardNormalReference(self.dim, sigma=3.0).as_reference()
+
+    def sample_iid_target(self, key):
+        """Forward simulation (enables the exact invariance test)."""
+        kx, ky = jax.random.split(key)
+        s_a = math.sqrt(10.0)
+        s_b = math.sqrt(0.1)
+        x = s_a * jax.random.normal(kx)
+        y = x * x + self.scale * s_b * jax.random.normal(ky, (self.n_y,))
+        return jnp.concatenate([x[None], y])
 
 
 def funnel(n_x: int = 9, scale: float = 1.0) -> Funnel:

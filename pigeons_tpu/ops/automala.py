@@ -116,7 +116,7 @@ class AutoMALA(Explorer):
         base_step = chain_params["step_size"]
         std_devs = chain_params["std_devs"]
         # the reference skips MH on the first scan of each round
-        use_mh = scan_idx != 1
+        use_mh = jnp.asarray(scan_idx != 1)
 
         def refresh(i, carry):
             x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n = carry

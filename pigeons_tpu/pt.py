@@ -58,6 +58,7 @@ def _make_round_kernel(
     accept_fn,
     n_chains: int,
     target_positions: tuple,  # static chain indices recording traces/moments
+    record_extended_traces: bool,  # per-scan extracts of ALL chains
     record_index_process: bool,
     record_swap_stats: bool,
     use_iid_reference: bool,
@@ -229,6 +230,10 @@ def _make_round_kernel(
             )
 
         outputs = {"trace": extract}
+        if record_extended_traces:
+            # all chains' extracts in chain order (reference extended_traces,
+            # Inputs.jl:95-101); one [N, d+1] all_gather per scan under a mesh
+            outputs["extended_trace"] = agather(extract_loc)[replica_of, :]
         if record_index_process:
             outputs["index_process"] = chain_of
 
@@ -446,6 +451,7 @@ class PT:
         self.reduced: Optional[ReducedRecorders] = None
         self.reports: list[RoundReport] = []
         self.traces = None  # last round's target-chain samples [n_scans, d+1]
+        self.extended_traces = None  # [(R,)? n_scans, N, d+1] when requested
         self.index_process = None
         self.exec_folder: Optional[str] = None
         if inputs.checkpoint:
@@ -466,6 +472,7 @@ class PT:
             accept_fn,
             n,
             target_positions=self.target_positions,
+            record_extended_traces=inputs.extended_traces,
             record_index_process="index_process" in inputs.record,
             record_swap_stats=record_swap_stats,
             use_iid_reference=sample_ref is not None,
@@ -529,8 +536,14 @@ class PT:
         self.traces = np.asarray(outputs["trace"]).reshape(
             -1, np.asarray(outputs["trace"]).shape[-1]
         )
+        if "extended_trace" in outputs:
+            self.extended_traces = np.asarray(outputs["extended_trace"])
         if "index_process" in outputs:
             self.index_process = np.asarray(outputs["index_process"])
+        if "disk" in self.inputs.record and self.exec_folder is not None:
+            from .checkpoint import write_samples
+
+            write_samples(self, outputs)
         reduced = reduce_recorders(rec, self.n_replicates)
         self.reduced = reduced
         self._adapt(reduced)
@@ -647,6 +660,14 @@ class PT:
             raise RuntimeError("run() first")
         return self.traces
 
+    def extended_sample_array(self) -> np.ndarray:
+        """All-chain extracts [iterations, n_chains, dim + 1] from the last
+        round (requires ``extended_traces=True``; reference ``Inputs.jl:95``)."""
+        if self.extended_traces is None:
+            raise RuntimeError("run with extended_traces=True first")
+        arr = self.extended_traces
+        return arr.reshape(-1, arr.shape[-2], arr.shape[-1])
+
     def mean(self) -> np.ndarray:
         return self.reduced.online_mean[:-1]
 
@@ -673,10 +694,12 @@ class PT:
         return self.barriers_var.global_barrier
 
 
-def pigeons(target=None, **kwargs) -> PT:
+def pigeons(target=None, on=None, **kwargs):
     """Main entry point (reference ``src/submission/api.jl``). Accepts a
     target, an ``Inputs``, or a checkpoint folder path to resume
-    (reference ``api.jl:8``: ``pigeons("results/latest")``)."""
+    (reference ``api.jl:8``: ``pigeons("results/latest")``); ``on`` selects
+    the submission backend (ThisProcess/ChildProcess/ClusterSubmission/
+    MultiHostLauncher) and may return a :class:`submission.Result` handle."""
     if isinstance(target, Inputs):
         inputs = target
     elif isinstance(target, str):
@@ -685,4 +708,6 @@ def pigeons(target=None, **kwargs) -> PT:
         return load_pt(target, mesh=kwargs.pop("mesh", None)).run()
     else:
         inputs = Inputs(target=target, **kwargs)
-    return PT(inputs).run()
+    if on is None:
+        return PT(inputs).run()
+    return on.submit(inputs)

@@ -1,0 +1,46 @@
+"""Exact invariance tests for every kernel + a broken-kernel negative control
+(reference test/test_invariance_test.jl)."""
+
+import jax.numpy as jnp
+import pytest
+
+from pigeons_tpu import AAPS, AutoMALA, MALA, SliceSampler, funnel, toy_mvn_target
+from pigeons_tpu.invariance_test import invariance_test
+from pigeons_tpu.ops import IdentityPreconditioner
+from pigeons_tpu.ops.base import Explorer, StepOut
+
+N = 4000  # smaller than the reference's 10k, still sharp enough at alpha=.005
+
+
+@pytest.mark.parametrize(
+    "explorer",
+    [
+        SliceSampler(n_passes=1),
+        MALA(step_size=0.4, preconditioner=IdentityPreconditioner()),
+        AutoMALA(preconditioner=IdentityPreconditioner()),
+        AAPS(step_size=0.4, preconditioner=IdentityPreconditioner()),
+    ],
+    ids=["slice", "mala", "automala", "aaps"],
+)
+def test_kernels_invariant_toy_mvn(explorer):
+    res = invariance_test(toy_mvn_target(3), explorer, n_iid_samples=N)
+    assert res.passed, f"failed dims {res.failed_dims}, pvalues {res.pvalues}"
+
+
+def test_slice_invariant_funnel():
+    res = invariance_test(funnel(3), SliceSampler(n_passes=1), n_iid_samples=N)
+    assert res.passed, f"pvalues {res.pvalues}"
+
+
+class BrokenKernel(Explorer):
+    """Deterministic drift: obviously not invariant."""
+
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
+        x2 = x + 0.2
+        z = jnp.zeros((), jnp.float32)
+        return StepOut(x2, lp_fn(x2), z, z, z)
+
+
+def test_broken_kernel_detected():
+    res = invariance_test(toy_mvn_target(3), BrokenKernel(), n_iid_samples=N)
+    assert not res.passed
