@@ -26,7 +26,7 @@ DIM = 100
 N_CHAINS = 10
 N_ROUNDS = 4  # adaptation warmup rounds before the timed fixed-length round
 MEASURE_SCANS = 32  # timed round length
-N_REPLICATES = 64  # independent ladders vmapped on-chip (BASELINE north star)
+N_REPLICATES = 1024  # independent ladders vmapped on-chip (BASELINE north star)
 
 
 # ---------------------------------------------------------------------------
@@ -113,10 +113,10 @@ def _tpu_run():
             show_report=False,
         )
     )
-    # adaptation warmup (short rounds), then the timed fixed-length round —
-    # run at MEASURE_SCANS twice so the second timing excludes its compile
+    # adaptation warmup at one fixed scan count (a single compile), then the
+    # timed round — run at MEASURE_SCANS twice so the timing excludes compile
     while pt.round_idx < N_ROUNDS:
-        pt.run_round()
+        pt.run_round(n_scans=4)
     pt.run_round(n_scans=MEASURE_SCANS)
     reduced = pt.run_round(n_scans=MEASURE_SCANS)
     report = pt.reports[-1]

@@ -10,8 +10,12 @@ fixed-shape statistics. See SURVEY.md at the repo root for the reference map.
 from .adaptation import communication_barriers, optimal_schedule
 from .evidence import stepping_stone, stepping_stone_pair
 from .inputs import Inputs
+from .diagnostics import ess, reports_dataframe, split_rhat, summary, swap_prs_dataframe
 from .models import (
     BayesianModel,
+    ExternalTarget,
+    LazyTarget,
+    ising_target,
     TestSwapper,
     banana,
     bernoulli_target,
@@ -26,6 +30,7 @@ from .models import (
 )
 from .ops import (
     AAPS,
+    BinaryGibbs,
     AutoMALA,
     Compose,
     DiagonalPreconditioner,
@@ -57,6 +62,15 @@ __all__ = [
     "toy_mvn_target",
     "TestSwapper",
     "BayesianModel",
+    "ExternalTarget",
+    "LazyTarget",
+    "ising_target",
+    "BinaryGibbs",
+    "ess",
+    "summary",
+    "split_rhat",
+    "reports_dataframe",
+    "swap_prs_dataframe",
     "banana",
     "bernoulli_target",
     "eight_schools",

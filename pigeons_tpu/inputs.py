@@ -33,6 +33,9 @@ class Inputs:
     checked_round: int = 0
     record: Sequence[str] = field(default_factory=lambda: RECORD_DEFAULT)
     explorer: Optional[Any] = None
+    # Custom trace extractor (x, log_density) -> vector (reference
+    # Inputs.extractor); default appends the log density to the state.
+    extractor: Optional[Any] = None
     show_report: bool = True
     extended_traces: bool = False
     # Optional ReplicaMesh: shard the replica axis over a 1-D device mesh

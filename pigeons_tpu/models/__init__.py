@@ -11,6 +11,8 @@ from .distributions import (
     binomial_logpmf,
     normal_logpdf,
 )
+from .external import ExternalTarget, LazyTarget, register_lazy_target
+from .ising import IsingTarget, ising_target
 from .library import (
     Banana,
     Funnel,
@@ -31,6 +33,11 @@ from .toy_mvn import ToyMVNTarget, toy_mvn_target
 
 __all__ = [
     "BayesianModel",
+    "ExternalTarget",
+    "LazyTarget",
+    "register_lazy_target",
+    "IsingTarget",
+    "ising_target",
     "Banana",
     "Beta",
     "Cauchy",

@@ -1,6 +1,7 @@
 from .aaps import AAPS
 from .automala import AutoMALA
 from .base import Explorer, NoOpExplorer, StepOut, ToyExplorer
+from .binary_gibbs import BinaryGibbs
 from .combinators import Compose, Mix
 from .hamiltonian import (
     DiagonalPreconditioner,
@@ -14,6 +15,7 @@ from .slice_sampler import SliceSampler
 
 __all__ = [
     "AAPS",
+    "BinaryGibbs",
     "AutoMALA",
     "Compose",
     "DiagonalPreconditioner",

@@ -58,10 +58,12 @@ def _make_round_kernel(
     accept_fn,
     n_chains: int,
     target_positions: tuple,  # static chain indices recording traces/moments
-    record_extended_traces: bool,  # per-scan extracts of ALL chains
-    record_index_process: bool,
-    record_swap_stats: bool,
-    use_iid_reference: bool,
+    extract_fn=None,  # (x, lp) -> trace vector; default appends lp to x
+    extract_dim: int = 0,
+    record_extended_traces: bool = False,  # per-scan extracts of ALL chains
+    record_index_process: bool = False,
+    record_swap_stats: bool = True,
+    use_iid_reference: bool = False,
     mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
     n_replicates: int = 1,  # vmap this many independent ladders
 ):
@@ -181,7 +183,7 @@ def _make_round_kernel(
         # pigeons.jl:110-131; both leg targets record under 2-leg PT):
         # exactly one replica globally sits at each target chain, so the psum
         # of the masked local sum reconstructs its extract bit-for-bit.
-        extract_loc = jnp.concatenate([x_after, lp_after[:, None]], axis=1)
+        extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
         extracts = []
         for tc in target_positions:
             at_tc = chain_loc == tc
@@ -247,7 +249,7 @@ def _make_round_kernel(
         else:
             dev = jax.lax.axis_index(axis)
             gidx = dev * n_local + jnp.arange(n_local)
-        rec = init_recorders(n_chains, states.shape[1] + 1, len(explorer.extra_names))
+        rec = init_recorders(n_chains, extract_dim, len(explorer.extra_names))
         body = partial(
             scan_body,
             master_key=master_key,
@@ -465,6 +467,19 @@ class PT:
         else:
             self.target_positions = (n - 1,)
 
+        # trace extractor (reference Inputs.extractor): default appends the
+        # interpolated log density to the state (pt/state.jl:90-99)
+        extract_fn = inputs.extractor or (
+            lambda x, lp: jnp.concatenate([x, lp[None]])
+        )
+        self._extract_dim = int(
+            jax.eval_shape(
+                extract_fn,
+                jax.ShapeDtypeStruct((target.dim,), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+            ).shape[0]
+        )
+
         self._kernel = _make_round_kernel(
             path_log_density,
             sample_ref,
@@ -472,6 +487,8 @@ class PT:
             accept_fn,
             n,
             target_positions=self.target_positions,
+            extract_fn=extract_fn,
+            extract_dim=self._extract_dim,
             record_extended_traces=inputs.extended_traces,
             record_index_process="index_process" in inputs.record,
             record_swap_stats=record_swap_stats,
