@@ -7,15 +7,31 @@ validity check (``slice_accept``, ``:192-237``); the log potential is cached
 between coordinate moves (``:24-30``). Defaults w=10, p=20, n_passes=3,
 max_iter=1024 (``:8-20``).
 
-TPU-first notes: written for a SINGLE replica with ``lax.while_loop`` /
-``fori_loop`` only (static bounds), so the runtime can ``vmap`` it across the
-replica batch — batched lanes run lockstep with masking, so the per-scan
-latency is set by the slowest lane. Unlike the reference, the doubling
-validity check refreshes endpoint log densities eagerly each halving step
-(one eval per iteration): under vmap the lazy-staleness bookkeeping of the
-reference buys nothing, since masked lanes execute anyway. Continuous (float)
-coordinates only for now — the reference's Bool/Integer coordinate
-special-cases (``:65-86,136-142``) are not yet implemented.
+TPU-first design. The runtime vmaps ``step`` over ~10^4 replica lanes, so the
+shape of the control flow decides the memory traffic per batched iteration:
+
+  * The per-coordinate work is ONE flat ``lax.while_loop`` state machine
+    (phases DOUBLE / SHRINK / CHECK) performing exactly one log-density
+    evaluation per iteration, instead of nested loops (doubling loop, then a
+    shrink loop with a validity-check loop inside every draw). Under vmap a
+    while loop runs until the worst lane finishes, so nesting multiplies
+    worst-lane tails; flattening pays the worst lane only once per coordinate.
+  * The state vector ``x`` is NOT carried through the while loop — it is a
+    loop invariant (a coordinate only commits on acceptance, after the loop).
+    Batched-while predication copies every carried array each iteration, so
+    carrying ``x`` would move an extra O(B·d) of HBM traffic per evaluation;
+    the carry here is a handful of per-lane scalars.
+  * The coordinate index is the (unbatched) fori counter, shared by all
+    lanes, so candidate evaluation is a cheap shared-index
+    dynamic-update-slice feeding the log density — XLA fuses it into the
+    density's reduction — never a per-lane scatter.
+
+Matching the reference: unlike the serial reference, the validity check
+refreshes endpoint log densities eagerly each halving step (one eval per
+iteration): under vmap the lazy-staleness bookkeeping buys nothing, since
+masked lanes execute anyway. Continuous (float) coordinates only — the
+reference's Bool/Integer coordinate special-cases (``:65-86,136-142``) are
+handled by ``BinaryGibbs`` for binary states.
 """
 
 from __future__ import annotations
@@ -26,6 +42,9 @@ from jax import lax
 
 from .base import Explorer, StepOut
 
+# phases of the per-coordinate machine
+DOUBLE, SHRINK, CHECK, STOP = range(4)
+
 
 class SliceSampler(Explorer):
     def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3, max_iter: int = 1024):
@@ -34,147 +53,148 @@ class SliceSampler(Explorer):
         self.n_passes = int(n_passes)
         self.max_iter = int(max_iter)
 
-    # -- single coordinate update ------------------------------------------
-
-    def _coord_step(self, key, x, c, cached_lp, lp_fn):
-        w, p = self.w, self.p
-        f = cached_lp.dtype
-
-        def lp_at(v):
-            return lp_fn(x.at[c].set(v))
-
-        k_z, k_init, k_dbl, k_shr = jax.random.split(key, 4)
-        z = cached_lp - jax.random.exponential(k_z, dtype=f)
-        old = x[c]
-
-        # --- doubling (slice_double) ---
-        L = old - w * jax.random.uniform(k_init, dtype=f)
-        R = L + w
-        lp_L = lp_at(L)
-        lp_R = lp_at(R)
-
-        def dbl_cond(carry):
-            L, R, lp_L, lp_R, K, key = carry
-            return (K > 0) & ((z < lp_L) | (z < lp_R))
-
-        def dbl_body(carry):
-            L, R, lp_L, lp_R, K, key = carry
-            key, sub = jax.random.split(key)
-            grow_left = jax.random.uniform(sub, dtype=f) <= 0.5
-            span = R - L
-            L_new = jnp.where(grow_left, L - span, L)
-            R_new = jnp.where(grow_left, R, R + span)
-            lp_new = lp_at(jnp.where(grow_left, L_new, R_new))
-            lp_L = jnp.where(grow_left, lp_new, lp_L)
-            lp_R = jnp.where(grow_left, lp_R, lp_new)
-            return (L_new, R_new, lp_L, lp_R, K - 1, key)
-
-        L, R, lp_L, lp_R, K, _ = lax.while_loop(
-            dbl_cond, dbl_body, (L, R, lp_L, lp_R, jnp.asarray(p), k_dbl)
-        )
-        n_doublings = (p - K).astype(jnp.float32)
-
-        # --- doubling validity check (slice_accept), eager-refresh variant ---
-        def acceptable(new_pos):
-            def acc_cond(carry):
-                Lh, Rh, lp_Lh, lp_Rh, rejected, done, ne = carry
-                return (~done) & (Rh - Lh > 1.1 * w)
-
-            def acc_body(carry):
-                Lh, Rh, lp_Lh, lp_Rh, rejected, done, ne = carry
-                M = 0.5 * (Lh + Rh)
-                crossed = ((old < M) & (new_pos >= M)) | ((old >= M) & (new_pos < M))
-                take_left = new_pos < M
-                Lh_n = jnp.where(take_left, Lh, M)
-                Rh_n = jnp.where(take_left, M, Rh)
-                lp_M = lp_at(M)
-                lp_Lh_n = jnp.where(take_left, lp_Lh, lp_M)
-                lp_Rh_n = jnp.where(take_left, lp_M, lp_Rh)
-                rej = crossed & (z >= lp_Lh_n) & (z >= lp_Rh_n)
-                return (Lh_n, Rh_n, lp_Lh_n, lp_Rh_n, rejected | rej, rej, ne + 1.0)
-
-            _, _, _, _, rejected, _, n_evals = lax.while_loop(
-                acc_cond,
-                acc_body,
-                (L, R, lp_L, lp_R, jnp.asarray(False), jnp.asarray(False),
-                 jnp.zeros((), jnp.float32)),
-            )
-            return ~rejected, n_evals
-
-        # --- shrinkage (slice_shrink!) ---
-        # carry: (key, Lbar, Rbar, pos, lp, done, n, acc_sum, acc_n, n_evals)
-        def shr_cond(carry):
-            key, Lb, Rb, pos, lp, done, n, a_s, a_n, ne = carry
-            return (~done) & (n <= self.max_iter)
-
-        def shr_body(carry):
-            key, Lb, Rb, pos, lp, done, n, a_s, a_n, ne = carry
-            key, sub = jax.random.split(key)
-            new = Lb + jax.random.uniform(sub, dtype=f) * (Rb - Lb)
-            lp_new = lp_at(new)
-            accept_ok, acc_evals = acceptable(new)
-            consider = z < lp_new
-            # count only algorithmically-required evals (the serial reference
-            # runs the validity check only when the vertical test passes)
-            ne = ne + 1.0 + jnp.where(consider, acc_evals, 0.0)
-            ok = consider & accept_ok
-            # on acceptance, move; otherwise shrink the bracket toward `new`
-            pos_n = jnp.where(ok, new, pos)
-            lp_n = jnp.where(ok, lp_new, lp)
-            shrink_left = new < old
-            Lb_n = jnp.where(ok | ~shrink_left, Lb, new)
-            Rb_n = jnp.where(ok | shrink_left, Rb, new)
-            # degenerate bracket: bail out at the old position (reference
-            # SliceSampler.jl:160-166, rtol ~ sqrt(eps) for the state dtype)
-            rtol = jnp.asarray(3.5e-4 if f == jnp.float32 else 1.5e-8, f)
-            degenerate = jnp.abs(Rb_n - Lb_n) <= rtol * jnp.maximum(
-                jnp.abs(Lb_n), jnp.abs(Rb_n)
-            )
-            done_n = ok | degenerate
-            a_s = a_s + jnp.where(ok, 1.0, 0.0)
-            a_n = a_n + jnp.where(consider, 1.0, 0.0)
-            return (key, Lb_n, Rb_n, pos_n, lp_n, done_n, n + 1, a_s, a_n, ne)
-
-        init = (
-            k_shr,
-            L,
-            R,
-            old,
-            cached_lp,
-            jnp.asarray(False),
-            jnp.asarray(1),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
-        )
-        _, _, _, pos, lp, _, _, acc_sum, acc_n, n_shrink_evals = lax.while_loop(
-            shr_cond, shr_body, init
-        )
-        x_new = x.at[c].set(pos)
-        # n_steps counts log-density evaluations: 2 bracket-endpoint inits,
-        # one per doubling, then shrink draws + validity-check midpoints
-        n_steps = 2.0 + n_doublings + n_shrink_evals
-        return x_new, lp, acc_sum, acc_n, n_steps
-
-    # -- full step -----------------------------------------------------------
-
     def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
         d = x.shape[0]
+        f = lp0.dtype
+        w = jnp.asarray(self.w, f)
+        rtol = jnp.asarray(3.5e-4 if f == jnp.float32 else 1.5e-8, f)
 
-        def one_pass(p_idx, carry):
-            x, lp, a_s, a_n, steps = carry
-            k_pass = jax.random.fold_in(key, p_idx)
+        def coord_step(i, carry):
+            x, lp_cur, acc_sum, acc_n, n_evals = carry
+            c = i % d
+            k_c = jax.random.fold_in(key, i)
 
-            def one_coord(c, carry2):
-                x, lp, a_s, a_n, steps = carry2
-                k_c = jax.random.fold_in(k_pass, c)
-                x, lp, da_s, da_n, dsteps = self._coord_step(k_c, x, c, lp, lp_fn)
-                return (x, lp, a_s + da_s, a_n + da_n, steps + dsteps)
+            def lp_at(v):
+                return lp_fn(x.at[c].set(v))
 
-            return lax.fori_loop(0, d, one_coord, (x, lp, a_s, a_n, steps))
+            old = x[c]
+            z = lp_cur - jax.random.exponential(jax.random.fold_in(k_c, 0), dtype=f)
+            L0 = old - w * jax.random.uniform(jax.random.fold_in(k_c, 1), dtype=f)
+            R0 = L0 + w
+            lpL0 = lp_at(L0)
+            lpR0 = lp_at(R0)
 
-        z = jnp.zeros((), jnp.float32)
-        x, lp, a_s, a_n, steps = lax.fori_loop(
-            0, self.n_passes, one_pass, (x, lp0, z, z, z)
+            phase0 = jnp.where(
+                (self.p > 0) & ((z < lpL0) | (z < lpR0)), DOUBLE, SHRINK
+            ).astype(jnp.int32)
+            fz = jnp.zeros((), f)
+            i0 = jnp.zeros((), jnp.int32)
+            f32z = jnp.zeros((), jnp.float32)
+            # carry: (phase, it, L, R, lpL, lpR, K, Lb, Rb, cand, lp_cand,
+            #         Lh, Rh, lpLh, lpRh, n_shr, accepted, considered, evals)
+            init = (phase0, i0, L0, R0, lpL0, lpR0, jnp.asarray(self.p, jnp.int32),
+                    L0, R0, old, lp_cur, fz, fz, fz, fz, i0,
+                    jnp.asarray(False), f32z, f32z)
+
+            def cond(st):
+                return st[0] != STOP
+
+            def body(st):
+                (phase, it, L, R, lpL, lpR, K, Lb, Rb, cand, lp_cand,
+                 Lh, Rh, lpLh, lpRh, n_shr, accepted, considered, evals) = st
+
+                k_it = jax.random.fold_in(k_c, 2 + it)
+                u_side = jax.random.uniform(jax.random.fold_in(k_it, 0), dtype=f)
+                u_shr = jax.random.uniform(jax.random.fold_in(k_it, 1), dtype=f)
+
+                # the one evaluation point of this iteration
+                grow_left = u_side <= 0.5
+                span = R - L
+                dbl_q = jnp.where(grow_left, L - span, R + span)
+                cand_draw = Lb + u_shr * (Rb - Lb)
+                M = 0.5 * (Lh + Rh)
+                query = lax.select_n(phase, dbl_q, cand_draw, M, old)
+                lp_q = lp_at(query)
+                evals = evals + jnp.where(phase != STOP, 1.0, 0.0).astype(jnp.float32)
+
+                # DOUBLE: commit the grown side; continue while an endpoint
+                # is inside the slice and the budget lasts
+                ph_dbl = phase == DOUBLE
+                L = jnp.where(ph_dbl & grow_left, dbl_q, L)
+                R = jnp.where(ph_dbl & ~grow_left, dbl_q, R)
+                lpL = jnp.where(ph_dbl & grow_left, lp_q, lpL)
+                lpR = jnp.where(ph_dbl & ~grow_left, lp_q, lpR)
+                K = jnp.where(ph_dbl, K - 1, K)
+                more_dbl = (K > 0) & ((z < lpL) | (z < lpR))
+                start_shrink = ph_dbl & ~more_dbl
+                Lb = jnp.where(start_shrink, L, Lb)
+                Rb = jnp.where(start_shrink, R, Rb)
+
+                # SHRINK: vertical test; maybe start the validity check
+                ph_shr = phase == SHRINK
+                cand = jnp.where(ph_shr, cand_draw, cand)
+                lp_cand = jnp.where(ph_shr, lp_q, lp_cand)
+                n_shr = jnp.where(ph_shr, n_shr + 1, n_shr)
+                consider = ph_shr & (z < lp_q)
+                considered = considered + jnp.where(consider, 1.0, 0.0)
+                narrow = (R - L) <= 1.1 * w  # doubling never ran: check vacuous
+                accept_shr = consider & narrow
+                to_check = consider & ~narrow
+                Lh = jnp.where(to_check, L, Lh)
+                Rh = jnp.where(to_check, R, Rh)
+                lpLh = jnp.where(to_check, lpL, lpLh)
+                lpRh = jnp.where(to_check, lpR, lpRh)
+
+                # CHECK: halve toward the candidate (slice_accept)
+                ph_chk = phase == CHECK
+                take_left = cand < M
+                crossed = (old < M) ^ take_left
+                Lh = jnp.where(ph_chk & ~take_left, M, Lh)
+                Rh = jnp.where(ph_chk & take_left, M, Rh)
+                lpLh = jnp.where(ph_chk & ~take_left, lp_q, lpLh)
+                lpRh = jnp.where(ph_chk & take_left, lp_q, lpRh)
+                chk_rej = ph_chk & crossed & (z >= lpLh) & (z >= lpRh)
+                chk_more = ph_chk & ~chk_rej & ((Rh - Lh) > 1.1 * w)
+                accept_chk = ph_chk & ~chk_rej & ~chk_more
+
+                # rejected candidates shrink the bracket toward themselves
+                rejected = (ph_shr & ~consider) | chk_rej
+                shrink_left = cand < old
+                Lb = jnp.where(rejected & shrink_left, cand, Lb)
+                Rb = jnp.where(rejected & ~shrink_left, cand, Rb)
+                degenerate = jnp.abs(Rb - Lb) <= rtol * jnp.maximum(
+                    jnp.abs(Lb), jnp.abs(Rb)
+                )
+                bail = rejected & (degenerate | (n_shr >= self.max_iter))
+
+                accepted = accepted | accept_shr | accept_chk
+                stop = accept_shr | accept_chk | bail
+                phase = jnp.asarray(
+                    jnp.where(
+                        stop,
+                        STOP,
+                        jnp.where(
+                            more_dbl & ph_dbl,
+                            DOUBLE,
+                            jnp.where(
+                                start_shrink | (rejected & ~bail),
+                                SHRINK,
+                                jnp.where(to_check | chk_more, CHECK, phase),
+                            ),
+                        ),
+                    ),
+                    jnp.int32,
+                )
+                return (phase, it + 1, L, R, lpL, lpR, K, Lb, Rb, cand, lp_cand,
+                        Lh, Rh, lpLh, lpRh, n_shr, accepted, considered, evals)
+
+            st = lax.while_loop(cond, body, init)
+            accepted, considered, evals = st[16], st[17], st[18]
+            cand, lp_cand = st[9], st[10]
+
+            # commit: a single shared-index column write per coordinate
+            x = x.at[c].set(jnp.where(accepted, cand, old))
+            lp_cur = jnp.where(accepted, lp_cand, lp_cur)
+            return (
+                x,
+                lp_cur,
+                acc_sum + jnp.where(accepted, 1.0, 0.0),
+                acc_n + considered,
+                n_evals + 2.0 + evals,
+            )
+
+        z32 = jnp.zeros((), jnp.float32)
+        x, lp, acc_sum, acc_n, n_evals = lax.fori_loop(
+            0, self.n_passes * d, coord_step, (x, lp0, z32, z32, z32)
         )
-        return StepOut(x, lp, a_s, a_n, steps)
+        return StepOut(x, lp, acc_sum, acc_n, n_evals)
