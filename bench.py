@@ -100,7 +100,7 @@ def _serial_baseline_evals_per_sec(budget_s: float = 3.0) -> float:
 
 
 def _tpu_run():
-    from pigeons_tpu import Inputs, PT, SliceSampler, toy_mvn_target
+    from pigeons_tpu import Inputs, PT, SliceSamplerPallas, toy_mvn_target
 
     pt = PT(
         Inputs(
@@ -109,7 +109,7 @@ def _tpu_run():
             n_rounds=N_ROUNDS,
             n_replicates=N_REPLICATES,
             seed=1,
-            explorer=SliceSampler(),
+            explorer=SliceSamplerPallas(),
             show_report=False,
         )
     )

@@ -40,6 +40,7 @@ from .ops import (
     MixDiagonalPreconditioner,
     NoOpExplorer,
     SliceSampler,
+    SliceSamplerPallas,
     ToyExplorer,
 )
 from .paths import InterpolatingPath, ScaledPrecisionNormalPath, toy_mvn_path
@@ -81,6 +82,7 @@ __all__ = [
     "mvn_target",
     "unid_target",
     "SliceSampler",
+    "SliceSamplerPallas",
     "ToyExplorer",
     "NoOpExplorer",
     "MALA",

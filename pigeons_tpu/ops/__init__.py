@@ -11,6 +11,7 @@ from .hamiltonian import (
     log_joint,
 )
 from .mala import MALA
+from .pallas_slice import SliceSamplerPallas
 from .slice_sampler import SliceSampler
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "MixDiagonalPreconditioner",
     "NoOpExplorer",
     "SliceSampler",
+    "SliceSamplerPallas",
     "StepOut",
     "ToyExplorer",
     "leapfrog",

@@ -1,0 +1,381 @@
+"""Pallas TPU kernel for the coordinate-wise slice sampler.
+
+Same algorithm as :class:`~pigeons_tpu.ops.SliceSampler` (Neal 2003 doubling +
+shrinking + validity check; reference ``src/explorers/SliceSampler.jl``), but
+run as ONE Mosaic kernel over the whole replica batch with the state batch
+resident in VMEM:
+
+  * **Asynchronous lanes.** Each lane (replica) runs its own per-coordinate
+    state machine (ENTER / INIT_R / DOUBLE / SHRINK / CHECK / DONE) through
+    the whole ``n_passes x dim`` sweep; one log-density evaluation per kernel
+    loop iteration. Lanes never synchronize at coordinate boundaries — the
+    batch only waits for the slowest lane's TOTAL sweep, which concentrates
+    around the mean. (The XLA path synchronizes every coordinate, paying the
+    worst lane ~300 times per scan.)
+  * **VMEM residency.** ``x`` lives in a VMEM ref for the whole sweep; the
+    candidate state is a one-hot blend, never an HBM round trip. The XLA
+    while-loop pays HBM traffic per iteration; here an iteration is a handful
+    of VPU passes over the block.
+  * **In-kernel PRNG** (``pltpu.prng_*``), seeded per (scan, block): one
+    [4, B] draw per iteration covers every phase's needs.
+
+Layout: states are processed as ``[dim, B]`` — coordinates on sublanes, lanes
+(replicas) on the 128-wide lane dimension — so per-lane scalars are cheap
+``[1, B]`` rows and the log density reduces over sublanes.
+
+Measured on a v5e chip (B=10240 lanes, d=100 MVN): ~37 ms per 3-pass sweep vs
+~207 ms for the flattened XLA sampler and ~620 ms for the nested formulation.
+
+The RNG stream differs from the XLA sampler (in-kernel PRNG vs threefry key
+folding), so runs are deterministic per implementation but not bitwise equal
+across implementations. The kernel is used when the runtime can hand the
+explorer the whole batch (`step_batched`); per-lane `step` falls back to the
+XLA sampler (this class subclasses it), e.g. under a variational reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .base import StepOut
+from .slice_sampler import SliceSampler
+
+ENTER, INIT_R, DOUBLE, SHRINK, CHECK, DONE = range(6)
+
+_LANE = 128  # TPU lane width: the replica-batch axis tiles in multiples of this
+
+
+def _uniform_from_bits(bits):
+    """Random bits -> (0, 1) float32. Keeps the top 24 bits as a non-negative
+    int32 (Mosaic has no uint32->f32 cast) and scales into the open interval."""
+    i24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return i24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
+
+
+def _sweep_kernel(
+    # prefetch/scalar inputs
+    seeds_ref,  # SMEM [n_blocks] int32
+    nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
+    # tensor inputs
+    x_ref,  # VMEM [d, BLK]
+    betas_ref,  # VMEM [1, BLK]
+    isvar_ref,  # VMEM [1, BLK]
+    # outputs
+    xout_ref,  # VMEM [d, BLK]
+    lp_ref,  # VMEM [1, BLK]
+    stats_ref,  # VMEM [4, BLK]: acc_sum, acc_n, n_evals, lanes-active marker
+    # scratch
+    row_scr,  # VMEM [1, BLK] f32: layout-pinning round trips
+    *,
+    lp_block,  # ([d, BLK], [1, BLK], [1, BLK]) -> [1, BLK] via row_scr
+    dim: int,
+    blk: int,
+    w: float,
+    p_dbl: int,
+    n_passes: int,
+    max_iter: int,
+    use_threefry: bool = False,  # interpret mode: the native PRNG is a stub
+):
+    blk_idx = pl.program_id(0)
+    if use_threefry:
+        base_key = jax.random.key(seeds_ref[blk_idx])
+    else:
+        pltpu.prng_seed(seeds_ref[blk_idx])
+    xout_ref[:, :] = x_ref[:, :]
+    x = xout_ref  # sweep mutates the output block in place
+
+    D, B = dim, blk
+    W = jnp.float32(w)
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) + blk_idx * B
+    real = lane < nact_ref[0]
+
+    betas = betas_ref[:, :]
+    isvar = isvar_ref[:, :]
+
+    def lp_eval(xv):
+        row_scr[:, :] = lp_block(xv, betas, isvar)
+        return row_scr[:, :]
+
+    lp_cur0 = lp_eval(x[:, :])
+
+    # constants lower to replicated vreg layouts, which while-carries cannot
+    # keep once the body produces per-lane values; round-trip zeros through
+    # VMEM to pin the standard layout
+    row_scr[:, :] = jnp.zeros((1, B), jnp.float32)
+    fz = row_scr[:, :]
+    iz = fz.astype(jnp.int32)
+    phase0 = jnp.where(real, ENTER, DONE).astype(jnp.int32) + iz
+
+    # f32 rows: lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
+    #           Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals
+    # i32 rows: phase, j (linear coordinate-step index), K, n_shr
+    init = (
+        lp_cur0, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz,
+        fz, fz, fz,
+        phase0, iz, iz, iz,
+        jnp.zeros((), jnp.int32),  # iteration counter (threefry stream index)
+    )
+
+    def cond(st):
+        return jnp.any(st[18] != DONE)
+
+    def body(st):
+        (lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
+         Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals,
+         phase, j, K, n_shr, it) = st
+
+        if use_threefry:
+            u4 = jax.random.uniform(
+                jax.random.fold_in(base_key, it), (4, B),
+                minval=jnp.float32(2**-25), maxval=jnp.float32(1.0),
+            )
+            u_init, u_z = u4[0:1, :], u4[1:2, :]
+            u_side, u_shr = u4[2:3, :], u4[3:4, :]
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((4, B)), jnp.uint32)
+            u_init = _uniform_from_bits(bits[0:1, :])
+            u_z = _uniform_from_bits(bits[1:2, :])
+            u_side = _uniform_from_bits(bits[2:3, :])
+            u_shr = _uniform_from_bits(bits[3:4, :])
+        e_z = -jnp.log(u_z)
+
+        c = j % D
+        cmask = col == pltpu.repeat(c, D, axis=0)  # one-hot coordinate rows
+
+        is_enter = phase == ENTER
+        row_scr[:, :] = jnp.sum(jnp.where(cmask, x[:, :], 0.0), axis=0, keepdims=True)
+        xc = row_scr[:, :]
+        old = jnp.where(is_enter, xc, old)
+        z = jnp.where(is_enter, lp_cur - e_z, z)
+        L = jnp.where(is_enter, old - W * u_init, L)
+        R = jnp.where(is_enter, L + W, R)
+
+        grow_left = u_side <= 0.5
+        span = R - L
+        dbl_q = jnp.where(grow_left, L - span, R + span)
+        cand_draw = Lb + u_shr * (Rb - Lb)
+        M = 0.5 * (Lh + Rh)
+        query = jnp.where(
+            is_enter, L,
+            jnp.where(phase == INIT_R, R,
+            jnp.where(phase == DOUBLE, dbl_q,
+            jnp.where(phase == SHRINK, cand_draw,
+            jnp.where(phase == CHECK, M, old)))))
+
+        x_eff = jnp.where(cmask, pltpu.repeat(query, D, axis=0), x[:, :])
+        lp_q = lp_eval(x_eff)
+        active = phase != DONE
+        n_evals = n_evals + active.astype(jnp.float32)
+
+        # ENTER: record the left endpoint's density, go eval the right one
+        lpL = jnp.where(is_enter, lp_q, lpL)
+
+        ph_initr = phase == INIT_R
+        lpR = jnp.where(ph_initr, lp_q, lpR)
+        K = jnp.where(ph_initr, p_dbl, K)
+
+        # DOUBLE: commit the grown side (slice_double)
+        ph_dbl = phase == DOUBLE
+        L = jnp.where(ph_dbl & grow_left, dbl_q, L)
+        R = jnp.where(ph_dbl & ~grow_left, dbl_q, R)
+        lpL = jnp.where(ph_dbl & grow_left, lp_q, lpL)
+        lpR = jnp.where(ph_dbl & ~grow_left, lp_q, lpR)
+        K = jnp.where(ph_dbl, K - 1, K)
+
+        more_dbl = (K > 0) & ((z < lpL) | (z < lpR))
+        start_shrink = (ph_initr | ph_dbl) & ~more_dbl
+        Lb = jnp.where(start_shrink, L, Lb)
+        Rb = jnp.where(start_shrink, R, Rb)
+        n_shr = jnp.where(start_shrink, 0, n_shr)
+
+        # SHRINK: vertical test; maybe start the validity check
+        ph_shr = phase == SHRINK
+        cand = jnp.where(ph_shr, cand_draw, cand)
+        lp_cand = jnp.where(ph_shr, lp_q, lp_cand)
+        n_shr = jnp.where(ph_shr, n_shr + 1, n_shr)
+        consider = ph_shr & (z < lp_q)
+        acc_n = acc_n + consider.astype(jnp.float32)
+        narrow = (R - L) <= 1.1 * W  # doubling never ran: check is vacuous
+        accept_shr = consider & narrow
+        to_check = consider & ~narrow
+        Lh = jnp.where(to_check, L, Lh)
+        Rh = jnp.where(to_check, R, Rh)
+        lpLh = jnp.where(to_check, lpL, lpLh)
+        lpRh = jnp.where(to_check, lpR, lpRh)
+
+        # CHECK: halve toward the candidate (slice_accept, eager refresh)
+        ph_chk = phase == CHECK
+        take_left = cand < M
+        crossed = (old < M) ^ take_left
+        Lh = jnp.where(ph_chk & ~take_left, M, Lh)
+        Rh = jnp.where(ph_chk & take_left, M, Rh)
+        lpLh = jnp.where(ph_chk & ~take_left, lp_q, lpLh)
+        lpRh = jnp.where(ph_chk & take_left, lp_q, lpRh)
+        chk_rej = ph_chk & crossed & (z >= lpLh) & (z >= lpRh)
+        chk_more = ph_chk & ~chk_rej & ((Rh - Lh) > 1.1 * W)
+        accept_chk = ph_chk & ~chk_rej & ~chk_more
+
+        # rejected candidates shrink the bracket toward themselves
+        rejected = (ph_shr & ~consider) | chk_rej
+        shrink_left = cand < old
+        Lb = jnp.where(rejected & shrink_left, cand, Lb)
+        Rb = jnp.where(rejected & ~shrink_left, cand, Rb)
+        degenerate = jnp.abs(Rb - Lb) <= 3.5e-4 * jnp.maximum(
+            jnp.abs(Lb), jnp.abs(Rb)
+        )
+        bail = rejected & (degenerate | (n_shr >= max_iter))
+
+        accepted = accept_shr | accept_chk
+        finish = accepted | bail
+        commit = cmask & (pltpu.repeat(accepted.astype(jnp.float32), D, axis=0) > 0)
+        x[:, :] = jnp.where(commit, pltpu.repeat(cand, D, axis=0), x[:, :])
+        lp_cur = jnp.where(accepted, lp_cand, lp_cur)
+        acc_sum = acc_sum + accepted.astype(jnp.float32)
+
+        j = jnp.where(finish, j + 1, j)
+        all_done = j >= n_passes * D
+
+        phase = jnp.where(
+            finish,
+            jnp.where(all_done, DONE, ENTER),
+            jnp.where(is_enter, INIT_R,
+            jnp.where(more_dbl & (ph_initr | ph_dbl), DOUBLE,
+            jnp.where(start_shrink | (rejected & ~bail), SHRINK,
+            jnp.where(to_check | chk_more, CHECK, phase)))),
+        ).astype(jnp.int32)
+
+        return (lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
+                Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals,
+                phase, j, K, n_shr, it + 1)
+
+    st = jax.lax.while_loop(cond, body, init)
+    lp_ref[:, :] = st[0]
+    stats_ref[0:1, :] = st[15]
+    stats_ref[1:2, :] = st[16]
+    stats_ref[2:3, :] = st[17]
+    stats_ref[3:4, :] = real.astype(jnp.float32)
+
+
+class SliceSamplerPallas(SliceSampler):
+    """Slice sampler with a batched Pallas TPU fast path.
+
+    ``step`` (per-lane, vmapped) falls back to the XLA
+    :class:`SliceSampler`; the runtime uses ``step_batched`` whenever it can
+    hand over the whole replica batch (currently: no variational reference).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
+    tests); by default it is enabled automatically off-TPU.
+    """
+
+    batched = True
+
+    def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
+                 max_iter: int = 1024, interpret: bool | None = None,
+                 block_bytes: int = 24 * 1024 * 1024):
+        super().__init__(w=w, p=p, n_passes=n_passes, max_iter=max_iter)
+        self.interpret = interpret
+        self.block_bytes = int(block_bytes)
+
+    def _use_interpret(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        return jax.devices()[0].platform != "tpu"
+
+    def supports_ref_params(self, ref_params) -> bool:
+        return ref_params == () or ref_params is None
+
+    def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
+                     chain_params, scan_idx) -> StepOut:
+        """Run the whole-sweep kernel over the replica batch.
+
+        ``xs [B, dim]``, ``lp0s/betas/isvars [B]``; ``ld(x, beta, isvar,
+        ref_params) -> scalar`` is the traced interpolated log density.
+        """
+        if not self.supports_ref_params(ref_params):
+            raise NotImplementedError(
+                "SliceSamplerPallas.step_batched does not take reference "
+                "params (variational runs use the XLA path)"
+            )
+        B, dim = xs.shape
+        interpret = self._use_interpret()
+
+        # lane padding + block decomposition
+        blk_cap = max(_LANE, (self.block_bytes // (4 * max(dim, 1) * 4)) // _LANE * _LANE)
+        blk = min(blk_cap, -(-B // _LANE) * _LANE)
+        b_pad = -(-B // blk) * blk
+        n_blocks = b_pad // blk
+
+        x_db = jnp.zeros((dim, b_pad), jnp.float32).at[:, :B].set(xs.T)
+        betas_p = jnp.zeros((1, b_pad), jnp.float32).at[0, :B].set(betas)
+        isvar_p = jnp.zeros((1, b_pad), jnp.float32).at[0, :B].set(
+            jnp.asarray(isvars, jnp.float32)
+        )
+        seeds = jax.vmap(
+            lambda i: jax.random.randint(
+                jax.random.fold_in(key, i), (), 0, np.int32(2**31 - 1), jnp.int32
+            )
+        )(jnp.arange(n_blocks))
+        nact = jnp.asarray([B], jnp.int32)
+
+        def lp_block(x_eff, betas_row, isvar_row):
+            out = jax.vmap(
+                lambda xc, b, iv: ld(xc, b[0], iv[0], ref_params),
+                in_axes=(1, 1, 1),
+                out_axes=0,
+            )(x_eff, betas_row, isvar_row)
+            return out[None, :]
+
+        kern = functools.partial(
+            _sweep_kernel,
+            lp_block=lp_block,
+            dim=dim,
+            blk=blk,
+            w=self.w,
+            p_dbl=self.p,
+            n_passes=self.n_passes,
+            max_iter=self.max_iter,
+            use_threefry=interpret,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((dim, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((dim, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((1, blk), jnp.float32)],
+        )
+        x_out, lp_out, stats = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((dim, b_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+                jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seeds, nact, x_db, betas_p, isvar_p)
+
+        return StepOut(
+            x=x_out[:, :B].T,
+            lp=lp_out[0, :B],
+            accept_sum=stats[0, :B],
+            accept_n=stats[1, :B],
+            n_steps=stats[2, :B],
+        )

@@ -65,7 +65,8 @@ def _make_round_kernel(
     record_swap_stats: bool = True,
     use_iid_reference: bool = False,
     mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
-    n_replicates: int = 1,  # vmap this many independent ladders
+    n_replicates: int = 1,  # batch this many independent ladders
+    use_batched_explorer: bool = False,  # hand the whole batch to the explorer
 ):
     """Build the jitted one-round kernel. Static configuration is closed over;
     everything that changes between rounds (betas, explorer state, reference
@@ -100,44 +101,65 @@ def _make_round_kernel(
 
     v_ld = jax.vmap(ld, in_axes=(0, 0, 0, None))
 
-    def scan_body(
-        carry, scan_idx, master_key, round_idx, betas, is_var, ref_mask, target_mask,
-        exp_state, ref_params, gidx
+    def _explore(
+        states, chain_loc, k_explore, keys_gidx, betas, is_var, exp_state,
+        ref_params, scan_idx
     ):
-        states, chain_of, replica_of, rec = carry
+        """Exploration over a (possibly replicate-flattened) replica batch.
+        ``keys_gidx`` are the global indices used to derive per-replica RNG
+        streams (layout-invariant, reference ``replicas.jl:87-98``); batched
+        explorers draw inside their own kernel from ``k_explore`` instead."""
         n = n_chains
-        chain_loc = chain_of[gidx]  # chains of this device's replicas
-
-        # ---------------- explore ----------------
         betas_loc = betas[chain_loc]
         isvar_loc = is_var[chain_loc]
         lp_before = v_ld(states, betas_loc, isvar_loc, ref_params)
-
-        k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
-        keys = rng.keys_for(k_explore, gidx)
         chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
-        def one_step(key, x, lp0, beta, isvar, cp):
-            return explorer.step(
-                key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params), beta, cp, scan_idx
+        if use_batched_explorer:
+            out = explorer.step_batched(
+                k_explore, states, lp_before, ld, betas_loc, isvar_loc,
+                ref_params, chain_params, scan_idx
             )
+        else:
+            keys = rng.keys_for(k_explore, keys_gidx)
 
-        out = jax.vmap(one_step)(keys, states, lp_before, betas_loc, isvar_loc, chain_params)
+            def one_step(key, x, lp0, beta, isvar, cp):
+                return explorer.step(
+                    key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params),
+                    beta, cp, scan_idx
+                )
+
+            out = jax.vmap(one_step)(
+                keys, states, lp_before, betas_loc, isvar_loc, chain_params
+            )
         x_after = out.x
         lp_after = out.lp
+        return out, x_after, lp_after, lp_before, betas_loc, isvar_loc
 
+    def _blend_iid(x_after, lp_after, chain_loc, k_iid, keys_gidx, betas, is_var,
+                   ref_mask, ref_params):
+        n = n_chains
         is_ref_loc = ref_mask[chain_loc] & (n > 1)
+        iid_keys = rng.keys_for(k_iid, keys_gidx)
+        isvar_loc = is_var[chain_loc]
+        iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
+            iid_keys, isvar_loc
+        )
+        x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
+        lp_after = jnp.where(
+            is_ref_loc, v_ld(iid, betas[chain_loc], isvar_loc, ref_params), lp_after
+        )
+        return x_after, lp_after
 
-        if use_iid_reference:
-            k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
-            iid_keys = rng.keys_for(k_iid, gidx)
-            iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
-                iid_keys, isvar_loc
-            )
-            x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
-            lp_after = jnp.where(
-                is_ref_loc, v_ld(iid, betas_loc, isvar_loc, ref_params), lp_after
-            )
+    def post_one(
+        x_after, lp_after, lp_before, stats, chain_of, replica_of, rec,
+        master_key, round_idx, scan_idx, betas, is_var, ref_mask, target_mask,
+        ref_params, gidx
+    ):
+        """Recorder updates + DEO swap for one ladder (or one device shard)."""
+        n = n_chains
+        (accept_sum_e, accept_n_e, n_steps_e, extras_sum_e, extras_n_e) = stats
+        chain_loc = chain_of[gidx]
 
         # Per-chain recorder updates. Each chain is held by exactly one replica
         # (on one device), so the psum of the per-device scatter rows adds only
@@ -158,14 +180,14 @@ def _make_round_kernel(
         z_chain = jnp.zeros((n,), energy_row.dtype)
         cols = [
             jnp.zeros((n, 6), energy_row.dtype).at[chain_loc].add(energy_row),
-            z_chain.at[chain_loc].add(out.accept_sum)[:, None],
-            z_chain.at[chain_loc].add(out.accept_n)[:, None],
-            z_chain.at[chain_loc].add(out.n_steps)[:, None],
+            z_chain.at[chain_loc].add(accept_sum_e)[:, None],
+            z_chain.at[chain_loc].add(accept_n_e)[:, None],
+            z_chain.at[chain_loc].add(n_steps_e)[:, None],
         ]
         n_extras = len(explorer.extra_names)
         if n_extras:
-            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(out.extras_sum))
-            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(out.extras_n))
+            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(extras_sum_e))
+            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(extras_n_e))
         chain_update = apsum(jnp.concatenate(cols, axis=1))
         rec = rec._replace(
             energy=rec.energy + chain_update[:, :6],
@@ -241,6 +263,108 @@ def _make_round_kernel(
 
         return (x_after, res.chain_of, res.replica_of, rec), outputs
 
+    def scan_body(
+        carry, scan_idx, master_key, round_idx, betas, is_var, ref_mask, target_mask,
+        exp_state, ref_params, gidx
+    ):
+        """One scan of a single ladder (optionally a device shard of one)."""
+        states, chain_of, replica_of, rec = carry
+        chain_loc = chain_of[gidx]
+        k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
+        k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
+        out, x_after, lp_after, lp_before, _, _ = _explore(
+            states, chain_loc, k_explore, gidx, betas, is_var, exp_state,
+            ref_params, scan_idx
+        )
+        if use_iid_reference:
+            x_after, lp_after = _blend_iid(
+                x_after, lp_after, chain_loc, k_iid, gidx, betas, is_var,
+                ref_mask, ref_params
+            )
+        stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
+        return post_one(
+            x_after, lp_after, lp_before, stats, chain_of, replica_of, rec,
+            master_key, round_idx, scan_idx, betas, is_var, ref_mask, target_mask,
+            ref_params, gidx
+        )
+
+    def scan_body_flat(
+        carry, scan_idx, master_keys, round_idx, betas, is_var, ref_mask,
+        target_mask, exp_state, ref_params
+    ):
+        """One scan of ``n_replicates`` independent ladders, exploration run as
+        ONE flat batch of R*N lanes (so batched explorers — pallas kernels —
+        see the whole batch), swaps/recorders vmapped per ladder. RNG streams
+        match the per-ladder formulation: replicate r uses keys derived from
+        ``master_keys[r]`` exactly as a standalone run with that key would."""
+        R, n = n_replicates, n_chains
+        states, chain_of, replica_of, rec = carry  # [R*n, d], [R, n], [R, n]
+        chain_flat = chain_of.reshape(-1)
+        gidx = jnp.arange(n)
+
+        k_explore_r = jax.vmap(
+            lambda k: rng.scan_key(k, round_idx, scan_idx, rng.EXPLORE)
+        )(master_keys)
+        k_iid_r = jax.vmap(
+            lambda k: rng.scan_key(k, round_idx, scan_idx, rng.IID)
+        )(master_keys)
+        if use_batched_explorer:
+            out, x_after, lp_after, lp_before, _, _ = _explore(
+                states, chain_flat, k_explore_r[0], None, betas, is_var,
+                exp_state, ref_params, scan_idx
+            )
+        else:
+            keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_explore_r)
+            flat_keys = keys.reshape((R * n,) + keys.shape[2:])
+            betas_loc = betas[chain_flat]
+            isvar_loc = is_var[chain_flat]
+            lp_before = v_ld(states, betas_loc, isvar_loc, ref_params)
+            chain_params = jax.tree.map(lambda a: a[chain_flat], exp_state)
+
+            def one_step(key, x, lp0, beta, isvar, cp):
+                return explorer.step(
+                    key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params),
+                    beta, cp, scan_idx
+                )
+
+            out = jax.vmap(one_step)(
+                flat_keys, states, lp_before, betas_loc, isvar_loc, chain_params
+            )
+            x_after, lp_after = out.x, out.lp
+        if use_iid_reference:
+            iid_keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_iid_r)
+            is_ref_loc = ref_mask[chain_flat] & (n > 1)
+            isvar_loc = is_var[chain_flat]
+            iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
+                iid_keys.reshape((R * n,) + iid_keys.shape[2:]), isvar_loc
+            )
+            x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
+            lp_after = jnp.where(
+                is_ref_loc, v_ld(iid, betas[chain_flat], isvar_loc, ref_params),
+                lp_after,
+            )
+
+        stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
+        d = states.shape[-1]
+
+        def per_rep(a):
+            return a.reshape((R, n) + a.shape[1:])
+
+        def post_r(mk, xa, lpa, lpb, st, co, ro, rc):
+            return post_one(
+                xa, lpa, lpb, st, co, ro, rc, mk, round_idx, scan_idx, betas,
+                is_var, ref_mask, target_mask, ref_params, gidx
+            )
+
+        stats_r = jax.tree.map(
+            lambda a: per_rep(a) if hasattr(a, "shape") and a.ndim else a, stats
+        )
+        (xa, co, ro, rec), outputs = jax.vmap(post_r)(
+            master_keys, per_rep(x_after), per_rep(lp_after), per_rep(lp_before),
+            stats_r, chain_of, replica_of, rec
+        )
+        return (xa.reshape(R * n, d), co, ro, rec), outputs
+
     def run_round(
         master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params, n_scans
     ):
@@ -250,6 +374,28 @@ def _make_round_kernel(
             dev = jax.lax.axis_index(axis)
             gidx = dev * n_local + jnp.arange(n_local)
         rec = init_recorders(n_chains, extract_dim, len(explorer.extra_names))
+        if n_replicates > 1:
+            rec = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n_replicates,) + a.shape), rec
+            )
+            body = partial(
+                scan_body_flat,
+                master_keys=master_key,
+                round_idx=round_idx,
+                betas=ladder["betas"],
+                is_var=ladder["is_var"],
+                ref_mask=ladder["ref_mask"],
+                target_mask=ladder["target_mask"],
+                exp_state=exp_state,
+                ref_params=ref_params,
+            )
+            d = states.shape[-1]
+            flat = states.reshape(n_replicates * n_chains, d)
+            (flat, chain_of, replica_of, rec), outputs = jax.lax.scan(
+                body, (flat, chain_of, replica_of, rec), jnp.arange(1, n_scans + 1)
+            )
+            states = flat.reshape(n_replicates, n_chains, d)
+            return states, chain_of, replica_of, rec, outputs
         body = partial(
             scan_body,
             master_key=master_key,
@@ -274,12 +420,7 @@ def _make_round_kernel(
         def f(mk, ri, b, s, co, ro, es, rp):
             return run_round(mk, ri, b, s, co, ro, es, rp, n_scans)
 
-        if n_replicates > 1:
-            # batch independent ladders; per-ladder keys/states/permutations
-            return jax.vmap(f, in_axes=(0, None, None, 0, 0, 0, None, None))(
-                master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
-            )
-        if mesh is None:
+        if mesh is None or n_replicates > 1:
             return f(
                 master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
             )
@@ -480,6 +621,18 @@ class PT:
             ).shape[0]
         )
 
+        # batched explorers (pallas kernels) take the whole replica batch in
+        # one call; fall back to the vmapped per-replica path when the
+        # explorer cannot consume this run's reference params (variational)
+        # or when the replica axis is sharded over a mesh
+        use_batched = (
+            getattr(self.explorer, "batched", False)
+            and self.mesh is None
+            and getattr(self.explorer, "supports_ref_params", lambda rp: False)(
+                self._ref_params
+            )
+        )
+
         self._kernel = _make_round_kernel(
             path_log_density,
             sample_ref,
@@ -495,6 +648,7 @@ class PT:
             use_iid_reference=sample_ref is not None,
             mesh=self.mesh,
             n_replicates=R,
+            use_batched_explorer=use_batched,
         )
 
     # ------------------------------------------------------------------

@@ -8,11 +8,14 @@ import pigeons_tpu as pg
 
 
 def test_cumulative_barrier_matches_analytic():
+    # 4 pooled replicate ladders halve the MC error of the rejection profile
+    # (reference test/test_cumulative_barrier.jl runs 15 rounds for |err|<0.01)
     target = pg.toy_mvn_target(2)
     pt = pg.pigeons(
         target=target,
         explorer=pg.SliceSampler(),
         n_rounds=14,
+        n_replicates=4,
         show_report=False,
     )
     path = pg.toy_mvn_path(2)

@@ -1,0 +1,109 @@
+"""Batched replicate ladders (Inputs.n_replicates) and the batched (Pallas)
+slice-sampler integration.
+
+The replicate axis is the TPU-native scaling feature (BASELINE north star:
+vmapped chains per chip): R independent PT systems share one compiled round
+kernel, exploration runs as one flat batch of R*N lanes, swaps/recorders stay
+per-ladder. The Pallas explorer is exercised through the interpreter on CPU
+(tests force JAX_PLATFORMS=cpu; the compiled kernel runs in bench.py and on
+the real chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigeons_tpu import Inputs, PT, SliceSampler, SliceSamplerPallas, toy_mvn_target
+
+
+def test_replicates_pool_moments():
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(3),
+            n_chains=4,
+            n_rounds=5,
+            seed=1,
+            n_replicates=16,
+            show_report=False,
+        )
+    )
+    pt.run()
+    # pooled online moments across 16 ladders: much tighter than one ladder
+    assert np.abs(pt.mean()).max() < 0.1
+    assert np.abs(pt.var() - 0.1).max() < 0.05
+    # traces pool scans x replicates x target chains
+    assert pt.sample_array().shape == (2**5 * 16, 4)
+    # round trips accumulate over all ladders
+    assert pt.n_round_trips > 16
+
+
+def test_replicates_deterministic():
+    def run():
+        return PT(
+            Inputs(
+                target=toy_mvn_target(2),
+                n_chains=4,
+                n_rounds=3,
+                seed=7,
+                n_replicates=4,
+                show_report=False,
+            )
+        ).run()
+
+    a, b = run(), run()
+    assert np.array_equal(a.sample_array(), b.sample_array())
+    assert a.n_round_trips == b.n_round_trips
+
+
+def test_pallas_kernel_single_sweep_interpret():
+    # one batched sweep through the interpreter: correct cached log density,
+    # sane eval counts, and actual movement
+    sl = SliceSamplerPallas(interpret=True, n_passes=1)
+    B, d = 8, 3
+    ld = lambda x, beta, isvar, rp: -0.5 * (0.5 + beta) * jnp.sum(x * x)
+    xs = jnp.ones((B, d))
+    betas = jnp.linspace(0.0, 1.0, B)
+    lp0 = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(xs, betas)
+    out = sl.step_batched(
+        jax.random.key(0), xs, lp0, ld, betas, jnp.zeros(B), (), (), 1
+    )
+    lp_direct = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(out.x, betas)
+    np.testing.assert_allclose(np.asarray(out.lp), np.asarray(lp_direct), atol=1e-5)
+    ne = np.asarray(out.n_steps)
+    assert (ne >= 2 * d).all() and (ne < 200).all()  # ~2 + shrink evals per coord
+    assert not np.allclose(np.asarray(out.x), np.asarray(xs))
+    assert np.asarray(out.accept_sum).sum() > 0
+
+
+def test_pallas_explorer_end_to_end_interpret():
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(2),
+            n_chains=4,
+            n_rounds=2,
+            seed=3,
+            explorer=SliceSamplerPallas(interpret=True, n_passes=1),
+            show_report=False,
+        )
+    )
+    pt.run()
+    assert np.isfinite(pt.reports[-1].log_z_estimate)
+    assert pt.sample_array().shape[1] == 3
+
+
+def test_pallas_falls_back_under_variational():
+    # a variational reference carries ref_params the kernel does not take;
+    # the runtime must silently use the vmapped XLA path (subclass step)
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(2),
+            n_chains=3,
+            n_chains_variational=3,
+            n_rounds=3,
+            seed=5,
+            explorer=SliceSamplerPallas(interpret=True, n_passes=1),
+            show_report=False,
+        )
+    )
+    pt.run()
+    assert np.isfinite(pt.global_barrier_variational)

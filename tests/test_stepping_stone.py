@@ -16,6 +16,7 @@ def test_stepping_stone_one_leg(explorer_name):
         explorer=explorer,
         n_chains=6,
         n_rounds=12,
+        n_replicates=4,
         show_report=False,
     )
     truth = pg.toy_mvn_path(10).analytic_lognormalization()
