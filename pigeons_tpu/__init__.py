@@ -39,6 +39,7 @@ from .ops import (
     Mix,
     MixDiagonalPreconditioner,
     NoOpExplorer,
+    NUTS,
     SliceSampler,
     SliceSamplerPallas,
     ToyExplorer,
@@ -88,6 +89,7 @@ __all__ = [
     "MALA",
     "AutoMALA",
     "AAPS",
+    "NUTS",
     "Mix",
     "Compose",
     "IdentityPreconditioner",

@@ -11,6 +11,7 @@ from .hamiltonian import (
     log_joint,
 )
 from .mala import MALA
+from .nuts import NUTS
 from .pallas_slice import SliceSamplerPallas
 from .slice_sampler import SliceSampler
 
@@ -26,6 +27,7 @@ __all__ = [
     "Mix",
     "MixDiagonalPreconditioner",
     "NoOpExplorer",
+    "NUTS",
     "SliceSampler",
     "SliceSamplerPallas",
     "StepOut",

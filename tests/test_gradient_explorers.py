@@ -135,3 +135,29 @@ def test_automala_reversibility_rate_recorded():
 def test_identity_preconditioner_no_adaptation():
     pt = run(toy_mvn_target(2), MALA(step_size=0.5, preconditioner=IdentityPreconditioner()), n_rounds=5)
     np.testing.assert_array_equal(np.asarray(pt.exp_state["std_devs"]), 1.0)
+
+
+def test_nuts_moments_and_adaptation():
+    # NUTS (not in the reference; BASELINE north star) must recover the toy
+    # posterior, adapt its step size toward the 0.8 acceptance target, and
+    # produce round trips through the ladder
+    from pigeons_tpu import NUTS
+
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(10),
+            n_chains=8,
+            n_rounds=9,
+            seed=1,
+            explorer=NUTS(step_size=0.5),
+            show_report=False,
+        )
+    ).run()
+    assert np.abs(pt.mean()).max() < 0.08
+    assert np.abs(pt.var() - 0.1).max() < 0.05
+    assert abs(pt.reports[-1].log_z_estimate - pt.path.analytic_lognormalization()) < 0.5
+    assert pt.n_round_trips > 5
+    acc = pt.reduced.extra_mean[:, 0]
+    assert 0.5 < np.nanmean(acc) <= 1.0
+    depth = pt.reduced.extra_mean[:, 1]
+    assert 1.0 <= np.nanmean(depth) < 8.0

@@ -4,7 +4,7 @@
 import jax.numpy as jnp
 import pytest
 
-from pigeons_tpu import AAPS, AutoMALA, MALA, SliceSampler, funnel, toy_mvn_target
+from pigeons_tpu import AAPS, AutoMALA, MALA, NUTS, SliceSampler, funnel, toy_mvn_target
 from pigeons_tpu.invariance_test import invariance_test
 from pigeons_tpu.ops import IdentityPreconditioner
 from pigeons_tpu.ops.base import Explorer, StepOut
@@ -19,8 +19,9 @@ N = 4000  # smaller than the reference's 10k, still sharp enough at alpha=.005
         MALA(step_size=0.4, preconditioner=IdentityPreconditioner()),
         AutoMALA(preconditioner=IdentityPreconditioner()),
         AAPS(step_size=0.4, preconditioner=IdentityPreconditioner()),
+        NUTS(step_size=0.5, preconditioner=IdentityPreconditioner()),
     ],
-    ids=["slice", "mala", "automala", "aaps"],
+    ids=["slice", "mala", "automala", "aaps", "nuts"],
 )
 def test_kernels_invariant_toy_mvn(explorer):
     res = invariance_test(toy_mvn_target(3), explorer, n_iid_samples=N)
