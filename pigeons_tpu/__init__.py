@@ -13,8 +13,11 @@ from .inputs import Inputs
 from .diagnostics import ess, reports_dataframe, split_rhat, summary, swap_prs_dataframe
 from .models import (
     BayesianModel,
+    BlangTarget,
     ExternalTarget,
     LazyTarget,
+    StreamTarget,
+    TreePPLTarget,
     ising_target,
     TestSwapper,
     banana,
@@ -65,7 +68,10 @@ __all__ = [
     "TestSwapper",
     "BayesianModel",
     "ExternalTarget",
+    "BlangTarget",
     "LazyTarget",
+    "StreamTarget",
+    "TreePPLTarget",
     "ising_target",
     "BinaryGibbs",
     "ess",
