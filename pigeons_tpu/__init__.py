@@ -16,6 +16,7 @@ from .models import (
     BlangTarget,
     ExternalTarget,
     LazyTarget,
+    NativeTarget,
     StreamTarget,
     TreePPLTarget,
     ising_target,
@@ -70,6 +71,7 @@ __all__ = [
     "ExternalTarget",
     "BlangTarget",
     "LazyTarget",
+    "NativeTarget",
     "StreamTarget",
     "TreePPLTarget",
     "ising_target",

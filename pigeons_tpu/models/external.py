@@ -30,6 +30,8 @@ from .target import Reference, StandardNormalReference, Target
 
 
 class ExternalTarget(Target):
+    host_evaluated = True
+
     def __init__(
         self,
         batch_log_density: Callable[[np.ndarray], np.ndarray],
@@ -96,6 +98,10 @@ class LazyTarget(Target):
     @property
     def dim(self):
         return self._resolved().dim
+
+    @property
+    def host_evaluated(self):
+        return getattr(self._resolved(), "host_evaluated", False)
 
     def log_density(self, x):
         return self._resolved().log_density(x)

@@ -241,6 +241,7 @@ class StreamTarget(Target):
     """
 
     dim = 1
+    host_evaluated = True
 
     def __init__(self, command_builder: Callable[[int], Sequence[str]]):
         self._command_builder = command_builder

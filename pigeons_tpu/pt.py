@@ -810,14 +810,33 @@ class PT:
                 f"{report.mean_swap_accept:>7.3f} {report.wall_time_s:>8.3f}"
             )
 
+    def _exec_device(self):
+        """Host-evaluated targets (native libraries, stream workers, external
+        callbacks) need a backend that supports host callbacks; if the default
+        backend does not (e.g. a tunneled TPU), place their computation on the
+        host CPU backend instead — the density lives on the host anyway."""
+        if not getattr(self.inputs.target, "host_evaluated", False):
+            return None
+        if jax.default_backend() == "cpu":
+            return None
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return None
+
     def run(self) -> "PT":
+        import contextlib
+
         from .checks import check_against_serial, preflight_checks
 
         preflight_checks(self.inputs)
-        while self.round_idx < self.inputs.n_rounds:
-            self.run_round()
-            if self.round_idx == self.inputs.checked_round:
-                check_against_serial(self)
+        dev = self._exec_device()
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            while self.round_idx < self.inputs.n_rounds:
+                self.run_round()
+                if self.round_idx == self.inputs.checked_round:
+                    check_against_serial(self)
         return self
 
     # ------------------------------------------------------------------
