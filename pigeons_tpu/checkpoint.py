@@ -28,6 +28,61 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class _ImmutablePickler(pickle.Pickler):
+    """Hash-deduplicated serialization of large arrays (reference
+    ``src/utils/Immutable.jl:39-87``): big datasets embedded in a target are
+    written ONCE per run under ``<exec_folder>/immutables/<hash>.npy`` and
+    checkpoints reference them by content hash, so per-round checkpoints stay
+    small no matter how large the model's data is."""
+
+    THRESHOLD_BYTES = 1 << 14
+
+    def __init__(self, file, immutables_dir: str):
+        super().__init__(file, protocol=pickle.HIGHEST_PROTOCOL)
+        self.immutables_dir = immutables_dir
+
+    def persistent_id(self, obj):
+        if (
+            isinstance(obj, np.ndarray)
+            and obj.nbytes > self.THRESHOLD_BYTES
+            and obj.dtype != object
+        ):
+            import hashlib
+
+            h = hashlib.sha256()
+            h.update(str(obj.dtype).encode())
+            h.update(str(obj.shape).encode())
+            h.update(np.ascontiguousarray(obj).tobytes())
+            digest = h.hexdigest()[:32]
+            path = os.path.join(self.immutables_dir, digest + ".npy")
+            if not os.path.exists(path):
+                os.makedirs(self.immutables_dir, exist_ok=True)
+                np.save(path, obj)
+            return ("pigeons_immutable", digest)
+        return None
+
+
+class _ImmutableUnpickler(pickle.Unpickler):
+    def __init__(self, file, immutables_dir: str):
+        super().__init__(file)
+        self.immutables_dir = immutables_dir
+        self._cache: dict = {}
+
+    def persistent_load(self, pid):
+        tag, digest = pid
+        if tag != "pigeons_immutable":
+            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        if digest not in self._cache:
+            self._cache[digest] = np.load(
+                os.path.join(self.immutables_dir, digest + ".npy")
+            )
+        return self._cache[digest]
+
+
+def _immutables_dir(exec_folder: str) -> str:
+    return os.path.join(exec_folder, "immutables")
+
+
 def next_exec_folder(base: str = "results") -> str:
     """Timestamped run folder + ``results/latest`` symlink
     (reference ``utils/exec_folder.jl:8-23``)."""
@@ -100,7 +155,7 @@ def write_checkpoint(pt) -> str:
         "exp_state_treedef": jax.tree.structure(pt.exp_state),
     }
     with open(os.path.join(folder, "meta.pkl"), "wb") as f:
-        pickle.dump(meta, f)
+        _ImmutablePickler(f, _immutables_dir(pt.exec_folder)).dump(meta)
     # completion marker written last (reference .signal files)
     with open(os.path.join(folder, ".finished"), "w") as f:
         f.write("ok")
@@ -120,7 +175,7 @@ def load_pt(exec_folder: str, mesh=None, round_idx: Optional[int] = None):
         raise FileNotFoundError(f"no complete checkpoint under {exec_folder}")
     folder = round_folder(exec_folder, round_idx)
     with open(os.path.join(folder, "meta.pkl"), "rb") as f:
-        meta = pickle.load(f)
+        meta = _ImmutableUnpickler(f, _immutables_dir(exec_folder)).load()
     arrays = np.load(os.path.join(folder, "checkpoint.npz"))
 
     inputs = meta["inputs"]

@@ -60,6 +60,62 @@ class Target:
 
 
 @dataclass(frozen=True)
+class CustomPath:
+    """Arbitrary annealing path: any ``(x, beta) -> scalar`` tempering scheme,
+    not restricted to two-endpoint linear interpolation. This is the analogue
+    of implementing the reference's ``path``/``interpolate`` informal
+    interface directly (``src/paths/path.jl:7-13``) — e.g. the JuliaBUGS
+    extension tempers through a model temperature parameter,
+    ``logprior + beta * loglikelihood`` (``ext/PigeonsJuliaBUGSExt/
+    interface.jl:61-82``), rather than interpolating two endpoints.
+
+    ``sample_reference``: optional ``key -> x`` iid sampler at beta = 0
+    (enables reference-chain regeneration); ``sample_at``: optional
+    ``(key, beta) -> x`` iid sampler at every beta (enables ToyExplorer and
+    iid toy paths)."""
+
+    log_density_fn: Callable  # (x, beta) -> scalar
+    sample_reference: Optional[Callable] = None  # key -> x
+    sample_at: Optional[Callable] = None  # (key, beta) -> x
+
+    def log_density(self, x, beta):
+        return self.log_density_fn(x, beta)
+
+    @property
+    def has_iid_reference(self) -> bool:
+        return self.sample_reference is not None
+
+
+class CustomPathTarget(Target):
+    """A target defined directly by its annealing path (reference targets
+    whose ``create_path`` does not return an ``InterpolatingPath``)."""
+
+    def __init__(self, path: CustomPath, dim: int):
+        self.path = path
+        self.dim = dim
+
+    def log_density(self, x):
+        import jax.numpy as _jnp
+
+        return self.path.log_density(x, _jnp.float32(1.0))
+
+    def default_reference(self) -> Reference:
+        return Reference(
+            log_density=lambda x: self.path.log_density(x, jnp.float32(0.0)),
+            sample_iid=self.path.sample_reference,
+        )
+
+    def create_path(self, reference):
+        del reference
+        return self.path
+
+    def initialization(self, key):
+        if self.path.sample_reference is not None:
+            return self.path.sample_reference(key)
+        return jnp.zeros((self.dim,), jnp.float32)
+
+
+@dataclass(frozen=True)
 class StandardNormalReference:
     """N(0, sigma^2 I) reference, the generic default."""
 

@@ -441,6 +441,21 @@ def _make_round_kernel(
     return round_kernel
 
 
+def _device_peak_memory() -> int:
+    """Max peak device memory across local devices — the TPU analogue of the
+    reference's per-round allocation extrema (``recorders/recorder.jl:118-142``
+    wraps ``@timed`` alloc stats in NonReproducible: a diagnostic excluded
+    from reproducibility comparisons; this is host-queried, never in-graph)."""
+    peak = 0
+    try:
+        for d in jax.local_devices():
+            stats = d.memory_stats() or {}
+            peak = max(peak, int(stats.get("peak_bytes_in_use", 0)))
+    except Exception:
+        pass
+    return peak
+
+
 @dataclass
 class RoundReport:
     round_idx: int
@@ -453,6 +468,7 @@ class RoundReport:
     mean_swap_accept: float
     wall_time_s: float
     global_barrier_variational: float = float("nan")
+    peak_memory_bytes: int = 0
 
 
 class PT:
@@ -791,6 +807,7 @@ class PT:
             global_barrier_variational=(
                 self.barriers_var.global_barrier if self.barriers_var else float("nan")
             ),
+            peak_memory_bytes=_device_peak_memory(),
         )
         self.reports.append(report)
         if self.inputs.show_report:
