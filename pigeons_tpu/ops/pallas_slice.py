@@ -62,18 +62,12 @@ def _sweep_kernel(
     # prefetch/scalar inputs
     seeds_ref,  # SMEM [n_blocks] int32
     nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
-    # tensor inputs
-    x_ref,  # VMEM [d, BLK]
-    betas_ref,  # VMEM [1, BLK]
-    isvar_ref,  # VMEM [1, BLK]
-    # outputs
-    xout_ref,  # VMEM [d, BLK]
-    lp_ref,  # VMEM [1, BLK]
-    stats_ref,  # VMEM [4, BLK]: acc_sum, acc_n, n_evals, lanes-active marker
-    # scratch
-    row_scr,  # VMEM [1, BLK] f32: layout-pinning round trips
-    *,
-    lp_block,  # ([d, BLK], [1, BLK], [1, BLK]) -> [1, BLK] via row_scr
+    # tensor inputs: x, betas, isvar, then hoisted density constants
+    # (closure_convert), then outputs + scratch
+    *refs,
+    lp_block,  # ([d, BLK], [1, BLK], [1, BLK], consts) -> [1, BLK]
+    coord_block=None,  # ([1,BLK] v, [1,BLK] c, betas, isvar, consts) -> [1,BLK]
+    const_shapes=(),  # original shapes of the hoisted density constants
     dim: int,
     blk: int,
     w: float,
@@ -82,6 +76,15 @@ def _sweep_kernel(
     max_iter: int,
     use_threefry: bool = False,  # interpret mode: the native PRNG is a stub
 ):
+    n_consts = len(const_shapes)
+    x_ref, betas_ref, isvar_ref = refs[0], refs[1], refs[2]
+    const_refs = refs[3:3 + n_consts]
+    xout_ref, lp_ref, stats_ref, row_scr = refs[3 + n_consts:]
+    consts = [
+        r[:, :].reshape(shp).astype(dt)
+        for r, (shp, dt) in zip(const_refs, const_shapes)
+    ]
+
     blk_idx = pl.program_id(0)
     if use_threefry:
         base_key = jax.random.key(seeds_ref[blk_idx])
@@ -100,7 +103,7 @@ def _sweep_kernel(
     isvar = isvar_ref[:, :]
 
     def lp_eval(xv):
-        row_scr[:, :] = lp_block(xv, betas, isvar)
+        row_scr[:, :] = lp_block(xv, betas, isvar, consts)
         return row_scr[:, :]
 
     lp_cur0 = lp_eval(x[:, :])
@@ -114,21 +117,21 @@ def _sweep_kernel(
     phase0 = jnp.where(real, ENTER, DONE).astype(jnp.int32) + iz
 
     # f32 rows: lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
-    #           Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals
+    #           Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals, base
     # i32 rows: phase, j (linear coordinate-step index), K, n_shr
     init = (
         lp_cur0, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz,
-        fz, fz, fz,
+        fz, fz, fz, fz,
         phase0, iz, iz, iz,
         jnp.zeros((), jnp.int32),  # iteration counter (threefry stream index)
     )
 
     def cond(st):
-        return jnp.any(st[18] != DONE)
+        return jnp.any(st[19] != DONE)
 
     def body(st):
         (lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
-         Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals,
+         Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals, base,
          phase, j, K, n_shr, it) = st
 
         if use_threefry:
@@ -169,8 +172,17 @@ def _sweep_kernel(
             jnp.where(phase == SHRINK, cand_draw,
             jnp.where(phase == CHECK, M, old)))))
 
-        x_eff = jnp.where(cmask, pltpu.repeat(query, D, axis=0), x[:, :])
-        lp_q = lp_eval(x_eff)
+        if coord_block is None:
+            x_eff = jnp.where(cmask, pltpu.repeat(query, D, axis=0), x[:, :])
+            lp_q = lp_eval(x_eff)
+        else:
+            # separable density: answer the query as an O(1) delta off the
+            # coordinate's current contribution instead of a full [d, B] pass
+            base = jnp.where(
+                is_enter, lp_cur - coord_block(xc, c, betas, isvar, consts),
+                base,
+            )
+            lp_q = base + coord_block(query, c, betas, isvar, consts)
         active = phase != DONE
         n_evals = n_evals + active.astype(jnp.float32)
 
@@ -252,11 +264,16 @@ def _sweep_kernel(
         ).astype(jnp.int32)
 
         return (lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
-                Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals,
+                Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals, base,
                 phase, j, K, n_shr, it + 1)
 
     st = jax.lax.while_loop(cond, body, init)
-    lp_ref[:, :] = st[0]
+    if coord_block is None:
+        lp_ref[:, :] = st[0]
+    else:
+        # incremental deltas drift by O(n_iters) f32 rounding over the sweep;
+        # hand the engine an exactly-recomputed density for the final state
+        lp_ref[:, :] = lp_eval(x[:, :])
     stats_ref[0:1, :] = st[15]
     stats_ref[1:2, :] = st[16]
     stats_ref[2:3, :] = st[17]
@@ -278,10 +295,12 @@ class SliceSamplerPallas(SliceSampler):
 
     def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
                  max_iter: int = 1024, interpret: bool | None = None,
-                 block_bytes: int = 24 * 1024 * 1024):
+                 block_bytes: int = 24 * 1024 * 1024,
+                 coord_deltas: bool = True):
         super().__init__(w=w, p=p, n_passes=n_passes, max_iter=max_iter)
         self.interpret = interpret
         self.block_bytes = int(block_bytes)
+        self.coord_deltas = bool(coord_deltas)
 
     def _use_interpret(self) -> bool:
         if self.interpret is not None:
@@ -292,11 +311,18 @@ class SliceSamplerPallas(SliceSampler):
         return ref_params == () or ref_params is None
 
     def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
-                     chain_params, scan_idx) -> StepOut:
+                     chain_params, scan_idx, ld_coord=None) -> StepOut:
         """Run the whole-sweep kernel over the replica batch.
 
         ``xs [B, dim]``, ``lp0s/betas/isvars [B]``; ``ld(x, beta, isvar,
         ref_params) -> scalar`` is the traced interpolated log density.
+        ``ld_coord(v, c, beta, isvar, ref_params) -> scalar``, when given,
+        is the contribution of coordinate ``c`` at value ``v`` of a
+        separable density — the kernel then answers every single-coordinate
+        proposal as an O(1) delta instead of a full O(dim) recomputation
+        (the reference's design cannot express this: its SliceSampler
+        re-evaluates the full closure per proposal,
+        ``src/explorers/SliceSampler.jl:144-186``).
         """
         if not self.supports_ref_params(ref_params):
             raise NotImplementedError(
@@ -324,17 +350,73 @@ class SliceSamplerPallas(SliceSampler):
         )(jnp.arange(n_blocks))
         nact = jnp.asarray([B], jnp.int32)
 
-        def lp_block(x_eff, betas_row, isvar_row):
+        # Pallas kernels may not capture array constants (model data the
+        # density closes over); hoist the jaxpr consts into explicit kernel
+        # inputs (jax.closure_convert only hoists tracers, not arrays)
+        def _hoist(fn, *example):
+            cj = jax.make_jaxpr(fn)(*example)
+            n_args = len(example)
+
+            def call(*args_and_consts):
+                args = args_and_consts[:n_args]
+                cs = args_and_consts[n_args:]
+                return jax.core.eval_jaxpr(cj.jaxpr, cs, *args)[0]
+
+            return call, list(cj.consts)
+
+        f0 = jnp.float32(0.0)
+        closed_lp, lp_consts = _hoist(
+            lambda xv, b, iv: ld(xv, b, iv, ref_params),
+            jnp.zeros((dim,), jnp.float32), f0, f0,
+        )
+        closed_coord, coord_consts = None, []
+        if ld_coord is not None and self.coord_deltas:
+            closed_coord, coord_consts = _hoist(
+                lambda v, c, b, iv: ld_coord(v, c, b, iv, ref_params),
+                f0, jnp.int32(0), f0, f0,
+            )
+        n_lp = len(lp_consts)
+        all_consts = list(lp_consts) + list(coord_consts)
+        const_shapes = tuple((c.shape, c.dtype) for c in all_consts)
+
+        def _store2d(a):
+            a = jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                a = a.astype(jnp.float32)
+            else:
+                a = a.astype(jnp.int32)
+            return a.reshape(1, max(1, a.size))
+
+        consts2d = [_store2d(c) for c in all_consts]
+
+        def lp_block(x_eff, betas_row, isvar_row, kconsts):
+            cs = kconsts[:n_lp]
             out = jax.vmap(
-                lambda xc, b, iv: ld(xc, b[0], iv[0], ref_params),
+                lambda xc, b, iv: closed_lp(xc, b[0], iv[0], *cs),
                 in_axes=(1, 1, 1),
                 out_axes=0,
             )(x_eff, betas_row, isvar_row)
             return out[None, :]
 
+        coord_block = None
+        if closed_coord is not None:
+
+            def coord_block(v_row, c_row, betas_row, isvar_row, kconsts):
+                cs = kconsts[n_lp:]
+                out = jax.vmap(
+                    lambda v, c, b, iv: closed_coord(
+                        v[0], c[0], b[0], iv[0], *cs
+                    ),
+                    in_axes=(1, 1, 1, 1),
+                    out_axes=0,
+                )(v_row, c_row, betas_row, isvar_row)
+                return out[None, :]
+
         kern = functools.partial(
             _sweep_kernel,
             lp_block=lp_block,
+            coord_block=coord_block,
+            const_shapes=const_shapes,
             dim=dim,
             blk=blk,
             w=self.w,
@@ -350,6 +432,12 @@ class SliceSamplerPallas(SliceSampler):
                 pl.BlockSpec((dim, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec(
+                    c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                )
+                for c in consts2d
             ],
             out_specs=(
                 pl.BlockSpec((dim, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
@@ -370,7 +458,7 @@ class SliceSamplerPallas(SliceSampler):
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(seeds, nact, x_db, betas_p, isvar_p)
+        )(seeds, nact, x_db, betas_p, isvar_p, *consts2d)
 
         return StepOut(
             x=x_out[:, :B].T,

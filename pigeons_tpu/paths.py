@@ -48,6 +48,15 @@ class InterpolatingPath:
     ref_log_density: Callable
     target_log_density: Callable
     sample_reference: Optional[Callable] = None
+    # optional coordinate-wise decompositions ``(v, c) -> scalar`` with
+    # ``log_density(x) == sum_c coord(x[c], c)``: when both endpoints provide
+    # one, coordinate-wise explorers (the Pallas slice sampler) evaluate
+    # single-coordinate proposals as O(1) density DELTAS instead of full
+    # O(dim) recomputations — a capability the reference's per-closure design
+    # cannot express (its SliceSampler re-evaluates the full density per
+    # proposal, ``src/explorers/SliceSampler.jl:144-186``)
+    ref_coord_log_density: Optional[Callable] = None
+    target_coord_log_density: Optional[Callable] = None
 
     def log_density(self, x, beta):
         lref = self.ref_log_density(x)
@@ -57,6 +66,19 @@ class InterpolatingPath:
     @property
     def has_iid_reference(self) -> bool:
         return self.sample_reference is not None
+
+    @property
+    def has_coordwise(self) -> bool:
+        return (
+            self.ref_coord_log_density is not None
+            and self.target_coord_log_density is not None
+        )
+
+    def coord_log_density(self, v, c, beta):
+        """Contribution of coordinate ``c`` holding value ``v`` at ``beta``."""
+        lref = self.ref_coord_log_density(v, c)
+        ltgt = self.target_coord_log_density(v, c)
+        return _guarded_mul(1.0 - beta, lref) + _guarded_mul(beta, ltgt)
 
 
 @dataclass(frozen=True)
@@ -78,6 +100,12 @@ class ScaledPrecisionNormalPath:
 
     def log_density(self, x, beta):
         return -0.5 * self.precision(beta) * jnp.sum(x * x)
+
+    has_coordwise = True
+
+    def coord_log_density(self, v, c, beta):
+        del c  # isotropic: every coordinate contributes -prec(beta) v^2 / 2
+        return -0.5 * self.precision(beta) * v * v
 
     def sample_at(self, key, beta):
         sd = jax.lax.rsqrt(self.precision(beta))

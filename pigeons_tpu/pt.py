@@ -67,6 +67,7 @@ def _make_round_kernel(
     mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
     n_replicates: int = 1,  # batch this many independent ladders
     use_batched_explorer: bool = False,  # hand the whole batch to the explorer
+    ld_coord=None,  # (v, c, beta, is_var, ref_params) -> scalar coordinate term
 ):
     """Build the jitted one-round kernel. Static configuration is closed over;
     everything that changes between rounds (betas, explorer state, reference
@@ -118,7 +119,7 @@ def _make_round_kernel(
         if use_batched_explorer:
             out = explorer.step_batched(
                 k_explore, states, lp_before, ld, betas_loc, isvar_loc,
-                ref_params, chain_params, scan_idx
+                ref_params, chain_params, scan_idx, ld_coord=ld_coord
             )
         else:
             keys = rng.keys_for(k_explore, keys_gidx)
@@ -554,6 +555,18 @@ class PT:
         self._path_log_density = path_log_density
         self._sample_reference = sample_ref
 
+        # coordinate-wise density decomposition: lets the Pallas slice
+        # sampler evaluate single-coordinate proposals as O(1) deltas
+        ld_coord = None
+        if variational is None and getattr(path, "has_coordwise", False):
+
+            def ld_coord(v, c, beta, isvar, ref_params):
+                del isvar, ref_params
+                lp = path.coord_log_density(v, c, beta)
+                return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+        self._ld_coord = ld_coord
+
         self.explorer = inputs.explorer or target.default_explorer()
         self.exp_state = self.explorer.init_state(n, target.dim)
 
@@ -665,6 +678,7 @@ class PT:
             mesh=self.mesh,
             n_replicates=R,
             use_batched_explorer=use_batched,
+            ld_coord=self._ld_coord,
         )
 
     # ------------------------------------------------------------------

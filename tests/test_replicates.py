@@ -75,6 +75,32 @@ def test_pallas_kernel_single_sweep_interpret():
     assert np.asarray(out.accept_sum).sum() > 0
 
 
+def test_pallas_kernel_coord_delta_sweep_interpret():
+    # separable density: the kernel answers proposals as O(1) deltas; the
+    # returned lp must still be the exactly-recomputed density of the output
+    sl = SliceSamplerPallas(interpret=True, n_passes=1)
+    B, d = 8, 3
+    scale = jnp.arange(1.0, d + 1.0)
+
+    def ld(x, beta, isvar, rp):
+        return -0.5 * (0.5 + beta) * jnp.sum(scale * x * x)
+
+    def ld_coord(v, c, beta, isvar, rp):
+        return -0.5 * (0.5 + beta) * scale[c] * v * v
+
+    xs = jnp.ones((B, d))
+    betas = jnp.linspace(0.0, 1.0, B)
+    lp0 = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(xs, betas)
+    out = sl.step_batched(
+        jax.random.key(0), xs, lp0, ld, betas, jnp.zeros(B), (), (), 1,
+        ld_coord=ld_coord,
+    )
+    lp_direct = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(out.x, betas)
+    np.testing.assert_allclose(np.asarray(out.lp), np.asarray(lp_direct), atol=1e-5)
+    assert not np.allclose(np.asarray(out.x), np.asarray(xs))
+    assert np.asarray(out.accept_sum).sum() > 0
+
+
 def test_pallas_explorer_end_to_end_interpret():
     pt = PT(
         Inputs(
