@@ -1,36 +1,39 @@
-"""Pallas TPU kernel for the coordinate-wise slice sampler.
+"""Pallas TPU kernels for the coordinate-wise slice sampler.
 
 Same algorithm as :class:`~pigeons_tpu.ops.SliceSampler` (Neal 2003 doubling +
-shrinking + validity check; reference ``src/explorers/SliceSampler.jl``), but
-run as ONE Mosaic kernel over the whole replica batch with the state batch
-resident in VMEM:
+shrinking + validity check; reference ``src/explorers/SliceSampler.jl``), run
+as Mosaic kernels over the whole replica batch with the state resident in
+VMEM. Two kernels, picked by density structure:
 
-  * **Asynchronous lanes.** Each lane (replica) runs its own per-coordinate
-    state machine (ENTER / INIT_R / DOUBLE / SHRINK / CHECK / DONE) through
-    the whole ``n_passes x dim`` sweep; one log-density evaluation per kernel
-    loop iteration. Lanes never synchronize at coordinate boundaries — the
-    batch only waits for the slowest lane's TOTAL sweep, which concentrates
-    around the mean. (The XLA path synchronizes every coordinate, paying the
-    worst lane ~300 times per scan.)
-  * **VMEM residency.** ``x`` lives in a VMEM ref for the whole sweep; the
-    candidate state is a one-hot blend, never an HBM round trip. The XLA
-    while-loop pays HBM traffic per iteration; here an iteration is a handful
-    of VPU passes over the block.
-  * **In-kernel PRNG** (``pltpu.prng_*``), seeded per (scan, block): one
-    [4, B] draw per iteration covers every phase's needs.
+1. ``_banded_sweep_kernel`` — for ADDITIVELY SEPARABLE densities (the
+   ``coord_log_density`` contract): the joint density cancels from every
+   coordinate's slice test, so all ``dim`` coordinates' 1-D slice machines
+   are mutually independent and run CONCURRENTLY, a ``band`` of coordinate
+   rows at a time (band = grid dimension). The while loop shortens from
+   ``n_passes * dim * E[steps]`` iterations to ``n_bands * max(steps)``.
+   Measured on a v5e chip (B=10240 lanes, d=100 MVN): **~7.4 ms** per 3-pass
+   sweep (band=8, blk=2560).
 
-Layout: states are processed as ``[dim, B]`` — coordinates on sublanes, lanes
-(replicas) on the 128-wide lane dimension — so per-lane scalars are cheap
-``[1, B]`` rows and the log density reduces over sublanes.
+2. ``_sweep_kernel`` — general densities: each lane (replica) runs its own
+   per-coordinate state machine (ENTER / INIT_R / DOUBLE / SHRINK / CHECK /
+   DONE) through the whole ``n_passes x dim`` sweep, one density evaluation
+   per loop iteration, lanes never synchronizing at coordinate boundaries —
+   the batch waits only for the slowest lane's TOTAL sweep. With a
+   ``coord_log_density`` it answers single-coordinate proposals as O(1)
+   deltas. Measured: ~37 ms per sweep vs ~207 ms for the flattened XLA
+   sampler and ~620 ms for the nested formulation.
 
-Measured on a v5e chip (B=10240 lanes, d=100 MVN): ~37 ms per 3-pass sweep vs
-~207 ms for the flattened XLA sampler and ~620 ms for the nested formulation.
+Shared mechanics: states processed as ``[rows, B]`` — coordinates on
+sublanes, lanes (replicas) on the 128-wide lane dimension; in-kernel PRNG
+(``pltpu.prng_*``) seeded per (scan, block); per-lane scalars as cheap
+``[1, B]`` rows.
 
 The RNG stream differs from the XLA sampler (in-kernel PRNG vs threefry key
-folding), so runs are deterministic per implementation but not bitwise equal
-across implementations. The kernel is used when the runtime can hand the
-explorer the whole batch (`step_batched`); per-lane `step` falls back to the
-XLA sampler (this class subclasses it), e.g. under a variational reference.
+folding) and between the two kernels (different draw orders), so runs are
+deterministic per implementation but not bitwise equal across
+implementations. The kernels are used when the runtime can hand the explorer
+the whole batch (`step_batched`); per-lane `step` falls back to the XLA
+sampler (this class subclasses it), e.g. under a variational reference.
 """
 
 from __future__ import annotations
@@ -280,6 +283,238 @@ def _sweep_kernel(
     stats_ref[3:4, :] = real.astype(jnp.float32)
 
 
+def _banded_sweep_kernel(
+    # prefetch/scalar inputs
+    seeds_ref,  # SMEM [n_blocks * n_bands] int32
+    nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
+    *refs,  # x band, betas, isvar, hoisted consts, outputs, scratch
+    coord_eval,  # ([S,BLK] v, [S,BLK] c, [S,BLK] b, [S,BLK] iv, consts) -> [S,BLK]
+    const_shapes=(),
+    dim: int,
+    band: int,
+    blk: int,
+    w: float,
+    p_dbl: int,
+    n_passes: int,
+    max_iter: int,
+    use_threefry: bool = False,
+):
+    """Separable-density sweep, banded: every (coordinate, lane) element runs
+    its OWN 1-D slice-sampling state machine, ``band`` coordinate rows at a
+    time over the whole lane block.
+
+    Why this is exact: for an additively separable density
+    ``lp(x) = sum_c f_c(x_c)`` (the precondition of ``coord_log_density``),
+    the coordinate-c slice test ``z < lp(x with v at c)`` with
+    ``z = lp(x) - Exp`` reduces to ``f_c(x_c) - Exp < f_c(v)`` — every other
+    coordinate's contribution cancels from both sides. The coordinate updates
+    are therefore mutually independent, and the sequential Gibbs sweep of the
+    reference (``src/explorers/SliceSampler.jl:43-62``) factorizes into
+    ``dim`` independent 1-D slice samplers with the same stationary law.
+
+    Banding is the TPU shape of that independence: the coordinate band is a
+    GRID dimension, so the per-element machine state is [band, BLK] sublane
+    tiles (band=8 = one f32 tile) instead of [dim, BLK] planes — an
+    iteration costs ~50 tile ops instead of ~50 full planes — while the
+    while-loop still shortens from ~``n_passes * dim * E[steps]`` iterations
+    (the per-lane asynchronous machine above) to ``n_bands * max(steps)``:
+    within a band, elements chain their ``n_passes`` passes without
+    synchronizing (a pass's ENTER needs only the element's own committed
+    value), so each band waits once for its slowest ELEMENT total.
+
+    The final joint density is NOT computed here (a band never sees the other
+    bands' coordinates); the caller re-evaluates it in one fused XLA pass.
+    """
+    n_consts = len(const_shapes)
+    x_ref, betas_ref, isvar_ref = refs[0], refs[1], refs[2]
+    const_refs = refs[3:3 + n_consts]
+    xout_ref, stats_ref, scr = refs[3 + n_consts:]
+    consts = [
+        r[:, :].reshape(shp).astype(dt)
+        for r, (shp, dt) in zip(const_refs, const_shapes)
+    ]
+
+    blk_idx = pl.program_id(0)
+    band_idx = pl.program_id(1)
+    n_bands = pl.num_programs(1)
+    if use_threefry:
+        base_key = jax.random.key(seeds_ref[blk_idx * n_bands + band_idx])
+    else:
+        pltpu.prng_seed(seeds_ref[blk_idx * n_bands + band_idx])
+    xout_ref[:, :] = x_ref[:, :]
+    x = xout_ref  # per-element commits mutate the output band in place
+
+    S, B = band, blk
+    W = jnp.float32(w)
+    lane2d = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1) + blk_idx * B
+    c2d = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) + band_idx * S
+    live = (lane2d < nact_ref[0]) & (c2d < dim)
+
+    betas2d = pltpu.repeat(betas_ref[:, :], S, axis=0)
+    isvar2d = pltpu.repeat(isvar_ref[:, :], S, axis=0)
+
+    def ceval(v2d):
+        return coord_eval(v2d, c2d, betas2d, isvar2d, consts)
+
+    # pin the standard vreg layout (replicated-layout constants cannot be
+    # carried once the body produces per-element values; see _sweep_kernel)
+    scr[:, :] = jnp.zeros((S, B), jnp.float32)
+    fz = scr[:, :]
+    iz = fz.astype(jnp.int32)
+    phase0 = jnp.where(live, ENTER, DONE).astype(jnp.int32) + iz
+
+    # f32 tiles: z, L, R, lcL, lcR, Lb, Rb, cand, Lh, Rh, lcLh, lcRh,
+    #            acc_sum, acc_n, n_evals
+    # i32 tiles: phase, pass_i, K, n_shr
+    init = (
+        fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz,
+        fz, fz, fz,
+        phase0, iz, iz, iz,
+        jnp.zeros((), jnp.int32),  # iteration counter (threefry stream index)
+    )
+
+    def cond(st):
+        return jnp.any(st[15] != DONE)
+
+    def body(st):
+        (z, L, R, lcL, lcR, Lb, Rb, cand, Lh, Rh, lcLh, lcRh,
+         acc_sum, acc_n, n_evals,
+         phase, pass_i, K, n_shr, it) = st
+
+        if use_threefry:
+            u2 = jax.random.uniform(
+                jax.random.fold_in(base_key, it), (2 * S, B),
+                minval=jnp.float32(2**-25), maxval=jnp.float32(1.0),
+            )
+            uA, uB = u2[:S, :], u2[S:, :]
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((2 * S, B)), jnp.uint32)
+            uA = _uniform_from_bits(bits[:S, :])
+            uB = _uniform_from_bits(bits[S:, :])
+
+        is_enter = phase == ENTER
+        active = phase != DONE
+
+        # until the accept commit, the element's coordinate value in x IS the
+        # sweep's "old" point — no separate plane needed
+        old = x[:, :]
+        L = jnp.where(is_enter, old - W * uA, L)
+        R = jnp.where(is_enter, L + W, R)
+
+        grow_left = uA <= 0.5
+        span = R - L
+        dbl_q = jnp.where(grow_left, L - span, R + span)
+        cand_draw = Lb + uA * (Rb - Lb)
+        M = 0.5 * (Lh + Rh)
+        query = jnp.where(
+            is_enter, R,
+            jnp.where(phase == DOUBLE, dbl_q,
+            jnp.where(phase == SHRINK, cand_draw,
+            jnp.where(phase == CHECK, M, old))))
+
+        # three elementwise density terms; ENTER consumes all of them (own
+        # value for z, both endpoints), other phases only the query. Per the
+        # reference's counting the current value's term is the cached eval.
+        lp_q = ceval(query)
+        lc_old = ceval(old)
+        lc_L = ceval(L)
+        n_evals = n_evals + jnp.where(
+            is_enter, 2.0, 1.0
+        ) * active.astype(jnp.float32)
+
+        e_z = -jnp.log(uB)
+        z = jnp.where(is_enter, lc_old - e_z, z)
+        lcL = jnp.where(is_enter, lc_L, lcL)
+        lcR = jnp.where(is_enter, lp_q, lcR)  # query == R at ENTER
+        K = jnp.where(is_enter, p_dbl, K)
+
+        ph_dbl = phase == DOUBLE
+        L = jnp.where(ph_dbl & grow_left, dbl_q, L)
+        R = jnp.where(ph_dbl & ~grow_left, dbl_q, R)
+        lcL = jnp.where(ph_dbl & grow_left, lp_q, lcL)
+        lcR = jnp.where(ph_dbl & ~grow_left, lp_q, lcR)
+        K = jnp.where(ph_dbl, K - 1, K)
+
+        more_dbl = (K > 0) & ((z < lcL) | (z < lcR))
+        start_shrink = (is_enter | ph_dbl) & ~more_dbl
+        Lb = jnp.where(start_shrink, L, Lb)
+        Rb = jnp.where(start_shrink, R, Rb)
+        n_shr = jnp.where(start_shrink, 0, n_shr)
+
+        ph_shr = phase == SHRINK
+        cand = jnp.where(ph_shr, cand_draw, cand)
+        n_shr = jnp.where(ph_shr, n_shr + 1, n_shr)
+        consider = ph_shr & (z < lp_q)
+        acc_n = acc_n + consider.astype(jnp.float32)
+        narrow = (R - L) <= 1.1 * W  # doubling never ran: check is vacuous
+        accept_shr = consider & narrow
+        to_check = consider & ~narrow
+        Lh = jnp.where(to_check, L, Lh)
+        Rh = jnp.where(to_check, R, Rh)
+        lcLh = jnp.where(to_check, lcL, lcLh)
+        lcRh = jnp.where(to_check, lcR, lcRh)
+
+        ph_chk = phase == CHECK
+        take_left = cand < M
+        crossed = (old < M) ^ take_left
+        Lh = jnp.where(ph_chk & ~take_left, M, Lh)
+        Rh = jnp.where(ph_chk & take_left, M, Rh)
+        lcLh = jnp.where(ph_chk & ~take_left, lp_q, lcLh)
+        lcRh = jnp.where(ph_chk & take_left, lp_q, lcRh)
+        chk_rej = ph_chk & crossed & (z >= lcLh) & (z >= lcRh)
+        chk_more = ph_chk & ~chk_rej & ((Rh - Lh) > 1.1 * W)
+        accept_chk = ph_chk & ~chk_rej & ~chk_more
+
+        rejected = (ph_shr & ~consider) | chk_rej
+        shrink_left = cand < old
+        Lb = jnp.where(rejected & shrink_left, cand, Lb)
+        Rb = jnp.where(rejected & ~shrink_left, cand, Rb)
+        degenerate = jnp.abs(Rb - Lb) <= 3.5e-4 * jnp.maximum(
+            jnp.abs(Lb), jnp.abs(Rb)
+        )
+        bail = rejected & (degenerate | (n_shr >= max_iter))
+
+        accepted = accept_shr | accept_chk
+        finish = accepted | bail
+        x[:, :] = jnp.where(accepted, cand, old)
+        acc_sum = acc_sum + accepted.astype(jnp.float32)
+
+        pass_i = jnp.where(finish, pass_i + 1, pass_i)
+        all_done = pass_i >= n_passes
+        phase = jnp.where(
+            finish,
+            jnp.where(all_done, DONE, ENTER),
+            jnp.where((is_enter | ph_dbl) & more_dbl, DOUBLE,
+            jnp.where(start_shrink | (rejected & ~bail), SHRINK,
+            jnp.where(to_check | chk_more, CHECK, phase))),
+        ).astype(jnp.int32)
+
+        return (z, L, R, lcL, lcR, Lb, Rb, cand, Lh, Rh, lcLh, lcRh,
+                acc_sum, acc_n, n_evals, phase, pass_i, K, n_shr, it + 1)
+
+    st = jax.lax.while_loop(cond, body, init)
+    # the stats block (0, i) stays VMEM-resident across the band steps of one
+    # lane block; initialize at the first band, accumulate afterwards.
+    # Row 3 is a diagnostic: total while-loop iterations across bands.
+    acc = jnp.concatenate(
+        [
+            jnp.sum(st[12], axis=0, keepdims=True),
+            jnp.sum(st[13], axis=0, keepdims=True),
+            jnp.sum(st[14], axis=0, keepdims=True),
+            jnp.broadcast_to(st[19].astype(jnp.float32), (1, B)) + fz[0:1, :],
+        ],
+        axis=0,
+    )
+
+    @pl.when(band_idx == 0)
+    def _():
+        stats_ref[:, :] = acc
+
+    @pl.when(band_idx != 0)
+    def _():
+        stats_ref[:, :] = stats_ref[:, :] + acc
+
+
 class SliceSamplerPallas(SliceSampler):
     """Slice sampler with a batched Pallas TPU fast path.
 
@@ -296,11 +531,23 @@ class SliceSamplerPallas(SliceSampler):
     def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
                  max_iter: int = 1024, interpret: bool | None = None,
                  block_bytes: int = 24 * 1024 * 1024,
-                 coord_deltas: bool = True):
+                 coord_deltas: bool = True,
+                 parallel_coords: bool = True,
+                 band: int = 8,
+                 parallel_blk: int = 2560):
         super().__init__(w=w, p=p, n_passes=n_passes, max_iter=max_iter)
         self.interpret = interpret
         self.block_bytes = int(block_bytes)
         self.coord_deltas = bool(coord_deltas)
+        # for separable densities run the coordinates' 1-D slice machines
+        # concurrently, `band` coordinate rows at a time
+        # (_banded_sweep_kernel) — exact because the joint density cancels
+        # from every coordinate's slice test. parallel_blk is the lane-block
+        # size of that kernel: measured optimum ~2560 on v5e (smaller blocks
+        # hit a Mosaic compile pathology, larger ones register pressure)
+        self.parallel_coords = bool(parallel_coords)
+        self.band = int(band)
+        self.parallel_blk = int(parallel_blk)
 
     def _use_interpret(self) -> bool:
         if self.interpret is not None:
@@ -331,14 +578,29 @@ class SliceSamplerPallas(SliceSampler):
             )
         B, dim = xs.shape
         interpret = self._use_interpret()
+        parallel = ld_coord is not None and self.coord_deltas and self.parallel_coords
 
-        # lane padding + block decomposition
-        blk_cap = max(_LANE, (self.block_bytes // (4 * max(dim, 1) * 4)) // _LANE * _LANE)
-        blk = min(blk_cap, -(-B // _LANE) * _LANE)
-        b_pad = -(-B // blk) * blk
-        n_blocks = b_pad // blk
+        # lane padding + block decomposition; the banded kernel's state lives
+        # in [band, blk] tiles, the async kernel's in [1, blk] rows + [dim, blk]
+        if parallel:
+            S = self.band
+            d_pad = -(-dim // S) * S
+            n_bands = d_pad // S
+            blk_cap = max(_LANE, self.parallel_blk // _LANE * _LANE)
+        else:
+            S, d_pad, n_bands = 0, dim, 1
+            blk_cap = max(
+                _LANE,
+                (self.block_bytes // (4 * max(dim, 1) * 4)) // _LANE * _LANE,
+            )
+        b_lanes = -(-B // _LANE) * _LANE
+        # smallest block count the cap allows, then the evenly-divided block
+        # size (avoids padding B up to n_blocks * blk_cap)
+        n_blocks = -(-b_lanes // blk_cap)
+        blk = -(-b_lanes // (n_blocks * _LANE)) * _LANE
+        b_pad = n_blocks * blk
 
-        x_db = jnp.zeros((dim, b_pad), jnp.float32).at[:, :B].set(xs.T)
+        x_db = jnp.zeros((d_pad, b_pad), jnp.float32).at[:dim, :B].set(xs.T)
         betas_p = jnp.zeros((1, b_pad), jnp.float32).at[0, :B].set(betas)
         isvar_p = jnp.zeros((1, b_pad), jnp.float32).at[0, :B].set(
             jnp.asarray(isvars, jnp.float32)
@@ -347,7 +609,7 @@ class SliceSamplerPallas(SliceSampler):
             lambda i: jax.random.randint(
                 jax.random.fold_in(key, i), (), 0, np.int32(2**31 - 1), jnp.int32
             )
-        )(jnp.arange(n_blocks))
+        )(jnp.arange(n_blocks * n_bands))
         nact = jnp.asarray([B], jnp.int32)
 
         # Pallas kernels may not capture array constants (model data the
@@ -411,6 +673,85 @@ class SliceSamplerPallas(SliceSampler):
                     out_axes=0,
                 )(v_row, c_row, betas_row, isvar_row)
                 return out[None, :]
+
+        if parallel:
+
+            def coord_eval2d(v2d, c2d, betas2d, isvar2d, kconsts):
+                cs = kconsts[n_lp:]
+
+                def f(v, c, b, iv):
+                    return closed_coord(v, c, b, iv, *cs)
+
+                return jax.vmap(jax.vmap(f))(v2d, c2d, betas2d, isvar2d)
+
+            kern = functools.partial(
+                _banded_sweep_kernel,
+                coord_eval=coord_eval2d,
+                const_shapes=const_shapes,
+                dim=dim,
+                band=S,
+                blk=blk,
+                w=self.w,
+                p_dbl=self.p,
+                n_passes=self.n_passes,
+                max_iter=self.max_iter,
+                use_threefry=interpret,
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_blocks, n_bands),
+                in_specs=[
+                    pl.BlockSpec(
+                        (S, blk), lambda i, g, *_: (g, i), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, blk), lambda i, g, *_: (0, i), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, blk), lambda i, g, *_: (0, i), memory_space=pltpu.VMEM
+                    ),
+                ]
+                + [
+                    pl.BlockSpec(
+                        c.shape, lambda i, g, *_: (0, 0), memory_space=pltpu.VMEM
+                    )
+                    for c in consts2d
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (S, blk), lambda i, g, *_: (g, i), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (4, blk), lambda i, g, *_: (0, i), memory_space=pltpu.VMEM
+                    ),
+                ),
+                scratch_shapes=[pltpu.VMEM((S, blk), jnp.float32)],
+            )
+            x_out, stats = pl.pallas_call(
+                kern,
+                out_shape=(
+                    jax.ShapeDtypeStruct((d_pad, b_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
+                ),
+                grid_spec=grid_spec,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=pltpu.InterpretParams() if interpret else False,
+            )(seeds, nact, x_db, betas_p, isvar_p, *consts2d)
+            x_new = x_out[:dim, :B].T
+            # the kernel never sees the joint density (a band only holds its
+            # own coordinates); recompute it in one fused XLA pass
+            lp_new = jax.vmap(
+                lambda xv, b, iv: ld(xv, b, iv, ref_params)
+            )(x_new, betas, jnp.asarray(isvars, jnp.float32))
+            return StepOut(
+                x=x_new,
+                lp=lp_new,
+                accept_sum=stats[0, :B],
+                accept_n=stats[1, :B],
+                n_steps=stats[2, :B],
+            )
 
         kern = functools.partial(
             _sweep_kernel,
