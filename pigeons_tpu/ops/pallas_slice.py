@@ -558,7 +558,8 @@ class SliceSamplerPallas(SliceSampler):
         return ref_params == () or ref_params is None
 
     def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
-                     chain_params, scan_idx, ld_coord=None) -> StepOut:
+                     chain_params, scan_idx, ld_coord=None,
+                     compute_final_lp: bool = True) -> StepOut:
         """Run the whole-sweep kernel over the replica batch.
 
         ``xs [B, dim]``, ``lp0s/betas/isvars [B]``; ``ld(x, beta, isvar,
@@ -741,10 +742,15 @@ class SliceSamplerPallas(SliceSampler):
             )(seeds, nact, x_db, betas_p, isvar_p, *consts2d)
             x_new = x_out[:dim, :B].T
             # the kernel never sees the joint density (a band only holds its
-            # own coordinates); recompute it in one fused XLA pass
-            lp_new = jax.vmap(
-                lambda xv, b, iv: ld(xv, b, iv, ref_params)
-            )(x_new, betas, jnp.asarray(isvars, jnp.float32))
+            # own coordinates); recompute it in one fused XLA pass — unless
+            # the caller computes it itself (the runtime fuses it with the
+            # swap's partner-beta evaluation), in which case skip the pass
+            if compute_final_lp:
+                lp_new = jax.vmap(
+                    lambda xv, b, iv: ld(xv, b, iv, ref_params)
+                )(x_new, betas, jnp.asarray(isvars, jnp.float32))
+            else:
+                lp_new = jnp.zeros((B,), jnp.float32)
             return StepOut(
                 x=x_new,
                 lp=lp_new,

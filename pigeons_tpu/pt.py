@@ -102,24 +102,35 @@ def _make_round_kernel(
 
     v_ld = jax.vmap(ld, in_axes=(0, 0, 0, None))
 
+    def ld2(x, b_own, iv_own, b_pt, iv_pt, ref_params):
+        # own-beta and partner-beta densities of the SAME state in one traced
+        # call: the endpoint densities ref(x)/target(x) are shared
+        # subexpressions, so XLA computes them once — the swap's partner
+        # evaluation is nearly free (the reference pays a full second
+        # evaluation per swap, src/swap/pair_swapper.jl:42-47)
+        return ld(x, b_own, iv_own, ref_params), ld(x, b_pt, iv_pt, ref_params)
+
+    v_ld2 = jax.vmap(ld2, in_axes=(0, 0, 0, 0, 0, None))
+
     def _explore(
-        states, chain_loc, k_explore, keys_gidx, betas, is_var, exp_state,
-        ref_params, scan_idx
+        states, chain_loc, k_explore, keys_gidx, lp_before, betas, is_var,
+        exp_state, ref_params, scan_idx
     ):
         """Exploration over a (possibly replicate-flattened) replica batch.
         ``keys_gidx`` are the global indices used to derive per-replica RNG
         streams (layout-invariant, reference ``replicas.jl:87-98``); batched
-        explorers draw inside their own kernel from ``k_explore`` instead."""
-        n = n_chains
+        explorers draw inside their own kernel from ``k_explore`` instead.
+        ``lp_before`` is carried through the scan (the post-swap density of
+        the previous scan) instead of being recomputed."""
         betas_loc = betas[chain_loc]
         isvar_loc = is_var[chain_loc]
-        lp_before = v_ld(states, betas_loc, isvar_loc, ref_params)
         chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
         if use_batched_explorer:
             out = explorer.step_batched(
                 k_explore, states, lp_before, ld, betas_loc, isvar_loc,
-                ref_params, chain_params, scan_idx, ld_coord=ld_coord
+                ref_params, chain_params, scan_idx, ld_coord=ld_coord,
+                compute_final_lp=False,
             )
         else:
             keys = rng.keys_for(k_explore, keys_gidx)
@@ -133,12 +144,12 @@ def _make_round_kernel(
             out = jax.vmap(one_step)(
                 keys, states, lp_before, betas_loc, isvar_loc, chain_params
             )
-        x_after = out.x
-        lp_after = out.lp
-        return out, x_after, lp_after, lp_before, betas_loc, isvar_loc
+        return out
 
-    def _blend_iid(x_after, lp_after, chain_loc, k_iid, keys_gidx, betas, is_var,
-                   ref_mask, ref_params):
+    def _blend_iid_x(x_after, chain_loc, k_iid, keys_gidx, is_var, ref_mask,
+                     ref_params):
+        """Regenerate reference-chain states iid (state only; the density is
+        picked up by the fused post-explore evaluation)."""
         n = n_chains
         is_ref_loc = ref_mask[chain_loc] & (n > 1)
         iid_keys = rng.keys_for(k_iid, keys_gidx)
@@ -146,27 +157,29 @@ def _make_round_kernel(
         iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
             iid_keys, isvar_loc
         )
-        x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
-        lp_after = jnp.where(
-            is_ref_loc, v_ld(iid, betas[chain_loc], isvar_loc, ref_params), lp_after
-        )
-        return x_after, lp_after
+        return jnp.where(is_ref_loc[:, None], iid, x_after)
 
     def post_one(
-        x_after, lp_after, lp_before, stats, chain_of, replica_of, rec,
-        master_key, round_idx, scan_idx, betas, is_var, ref_mask, target_mask,
-        ref_params, gidx
+        x_after, lp_after, lp_partner, lp_before, stats, chain_of, replica_of,
+        rec, master_key, round_idx, scan_idx, betas, is_var, ref_mask,
+        target_mask, ref_params, gidx
     ):
-        """Recorder updates + DEO swap for one ladder (or one device shard)."""
+        """Recorder updates + DEO swap for one ladder (or one device shard).
+        ``lp_after``/``lp_partner`` are the fused own/partner-beta densities of
+        ``x_after``; returns the carried post-swap density as well."""
         n = n_chains
         (accept_sum_e, accept_n_e, n_steps_e, extras_sum_e, extras_n_e) = stats
         chain_loc = chain_of[gidx]
 
-        # Per-chain recorder updates. Each chain is held by exactly one replica
-        # (on one device), so the psum of the per-device scatter rows adds only
-        # exact zeros — and accumulating the *combined* [N, .] update keeps the
-        # additions in scan order, making the round totals bitwise identical to
-        # the single-device run even though chains migrate across devices.
+        # Per-chain recorder updates. Each chain is held by exactly one
+        # replica, so reordering rows into chain order is a permutation. On a
+        # single device that is a plain gather by the chain->replica inverse
+        # map (TPU scatters serialize; the gather is vector work). Across a
+        # mesh each device scatters its shard's rows into the [N, .] layout
+        # and the psum adds only exact zeros — either way the accumulated
+        # round totals are bitwise identical to the single-device run even
+        # though chains migrate across devices (the analogue of the
+        # reference's deterministic reductions, Entangler.jl:214-277).
         energy_row = jnp.stack(
             [
                 jnp.ones_like(lp_before),
@@ -178,18 +191,22 @@ def _make_round_kernel(
             ],
             axis=-1,
         )
-        z_chain = jnp.zeros((n,), energy_row.dtype)
-        cols = [
-            jnp.zeros((n, 6), energy_row.dtype).at[chain_loc].add(energy_row),
-            z_chain.at[chain_loc].add(accept_sum_e)[:, None],
-            z_chain.at[chain_loc].add(accept_n_e)[:, None],
-            z_chain.at[chain_loc].add(n_steps_e)[:, None],
-        ]
         n_extras = len(explorer.extra_names)
+        row_parts = [
+            energy_row,
+            accept_sum_e[:, None],
+            accept_n_e[:, None],
+            n_steps_e[:, None],
+        ]
         if n_extras:
-            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(extras_sum_e))
-            cols.append(jnp.zeros((n, n_extras)).at[chain_loc].add(extras_n_e))
-        chain_update = apsum(jnp.concatenate(cols, axis=1))
+            row_parts += [extras_sum_e, extras_n_e]
+        rows = jnp.concatenate(row_parts, axis=1)  # [n_local, 9 + 2K]
+        if axis is None:
+            chain_update = rows[replica_of]  # permutation gather
+        else:
+            chain_update = apsum(
+                jnp.zeros((n, rows.shape[1]), rows.dtype).at[chain_loc].add(rows)
+            )
         rec = rec._replace(
             energy=rec.energy + chain_update[:, :6],
             exp_accept_sum=rec.exp_accept_sum + chain_update[:, 6],
@@ -203,17 +220,26 @@ def _make_round_kernel(
             )
 
         # online moments + trace at the target chain(s) (reference
-        # pigeons.jl:110-131; both leg targets record under 2-leg PT):
+        # pigeons.jl:110-131; both leg targets record under 2-leg PT). On a
+        # single device: gather the target replicas directly; across a mesh:
         # exactly one replica globally sits at each target chain, so the psum
         # of the masked local sum reconstructs its extract bit-for-bit.
-        extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
-        extracts = []
-        for tc in target_positions:
-            at_tc = chain_loc == tc
-            extracts.append(
-                apsum(jnp.sum(jnp.where(at_tc[:, None], extract_loc, 0.0), axis=0))
-            )
-        extract = jnp.stack(extracts)  # [T, d+1]
+        extract_loc = None
+        if axis is None:
+            tpos = jnp.asarray(target_positions)
+            ridx = replica_of[tpos]
+            extract = jax.vmap(extract_fn)(x_after[ridx], lp_after[ridx])
+        else:
+            extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
+            extracts = []
+            for tc in target_positions:
+                at_tc = chain_loc == tc
+                extracts.append(
+                    apsum(
+                        jnp.sum(jnp.where(at_tc[:, None], extract_loc, 0.0), axis=0)
+                    )
+                )
+            extract = jnp.stack(extracts)  # [T, d+1]
         rec = rec._replace(
             online_n=rec.online_n + float(len(target_positions)),
             online_sum=rec.online_sum + jnp.sum(extract, axis=0),
@@ -227,13 +253,6 @@ def _make_round_kernel(
         is_target_all = target_mask[chain_of]
         rec = update_round_trips(rec, is_ref_all, is_target_all)
 
-        from .swaps import deo_partner_map
-
-        partner_map = deo_partner_map(n, scan_idx)
-        partner_chain_loc = partner_map[chain_loc]
-        lp_partner = v_ld(
-            x_after, betas[partner_chain_loc], is_var[partner_chain_loc], ref_params
-        )
         log_ratio = agather(lp_partner - lp_after)  # [N] in global replica order
 
         k_swap = rng.scan_key(master_key, round_idx, scan_idx, rng.SWAP_UNIFORM)
@@ -254,39 +273,63 @@ def _make_round_kernel(
                 lsr_fwd=lsr_fwd, lsr_fwd_n=lsr_fwd_n, lsr_bwd=lsr_bwd, lsr_bwd_n=lsr_bwd_n
             )
 
+        # carried density: a swapped replica's new own-beta density IS the
+        # partner-beta density it just computed — the next scan's lp_before
+        # costs nothing (the reference re-evaluates, pt/pigeons.jl:103)
+        swapped = res.chain_of[gidx] != chain_loc
+        lp_next = jnp.where(swapped, lp_partner, lp_after)
+
         outputs = {"trace": extract}
         if record_extended_traces:
             # all chains' extracts in chain order (reference extended_traces,
             # Inputs.jl:95-101); one [N, d+1] all_gather per scan under a mesh
+            if extract_loc is None:
+                extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
             outputs["extended_trace"] = agather(extract_loc)[replica_of, :]
         if record_index_process:
             outputs["index_process"] = chain_of
 
-        return (x_after, res.chain_of, res.replica_of, rec), outputs
+        return (x_after, res.chain_of, res.replica_of, lp_next, rec), outputs
+
+    def _fused_post_densities(x_after, chain_loc, scan_idx, betas, is_var,
+                              ref_params):
+        """Own-beta + partner-beta densities of the post-explore states in ONE
+        fused pass (shared endpoint densities)."""
+        from .swaps import deo_partner_map
+
+        partner_map = deo_partner_map(n_chains, scan_idx)
+        partner_loc = partner_map[chain_loc]
+        return v_ld2(
+            x_after, betas[chain_loc], is_var[chain_loc], betas[partner_loc],
+            is_var[partner_loc], ref_params,
+        )
 
     def scan_body(
         carry, scan_idx, master_key, round_idx, betas, is_var, ref_mask, target_mask,
         exp_state, ref_params, gidx
     ):
         """One scan of a single ladder (optionally a device shard of one)."""
-        states, chain_of, replica_of, rec = carry
+        states, chain_of, replica_of, lp_cur, rec = carry
         chain_loc = chain_of[gidx]
         k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
         k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
-        out, x_after, lp_after, lp_before, _, _ = _explore(
-            states, chain_loc, k_explore, gidx, betas, is_var, exp_state,
-            ref_params, scan_idx
+        out = _explore(
+            states, chain_loc, k_explore, gidx, lp_cur, betas, is_var,
+            exp_state, ref_params, scan_idx
         )
+        x_after = out.x
         if use_iid_reference:
-            x_after, lp_after = _blend_iid(
-                x_after, lp_after, chain_loc, k_iid, gidx, betas, is_var,
-                ref_mask, ref_params
+            x_after = _blend_iid_x(
+                x_after, chain_loc, k_iid, gidx, is_var, ref_mask, ref_params
             )
+        lp_after, lp_partner = _fused_post_densities(
+            x_after, chain_loc, scan_idx, betas, is_var, ref_params
+        )
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
         return post_one(
-            x_after, lp_after, lp_before, stats, chain_of, replica_of, rec,
-            master_key, round_idx, scan_idx, betas, is_var, ref_mask, target_mask,
-            ref_params, gidx
+            x_after, lp_after, lp_partner, lp_cur, stats, chain_of, replica_of,
+            rec, master_key, round_idx, scan_idx, betas, is_var, ref_mask,
+            target_mask, ref_params, gidx
         )
 
     def scan_body_flat(
@@ -299,7 +342,7 @@ def _make_round_kernel(
         match the per-ladder formulation: replicate r uses keys derived from
         ``master_keys[r]`` exactly as a standalone run with that key would."""
         R, n = n_replicates, n_chains
-        states, chain_of, replica_of, rec = carry  # [R*n, d], [R, n], [R, n]
+        states, chain_of, replica_of, lp_cur, rec = carry  # [R*n, .], [R, n]
         chain_flat = chain_of.reshape(-1)
         gidx = jnp.arange(n)
 
@@ -310,16 +353,15 @@ def _make_round_kernel(
             lambda k: rng.scan_key(k, round_idx, scan_idx, rng.IID)
         )(master_keys)
         if use_batched_explorer:
-            out, x_after, lp_after, lp_before, _, _ = _explore(
-                states, chain_flat, k_explore_r[0], None, betas, is_var,
-                exp_state, ref_params, scan_idx
+            out = _explore(
+                states, chain_flat, k_explore_r[0], None, lp_cur, betas,
+                is_var, exp_state, ref_params, scan_idx
             )
         else:
             keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_explore_r)
             flat_keys = keys.reshape((R * n,) + keys.shape[2:])
             betas_loc = betas[chain_flat]
             isvar_loc = is_var[chain_flat]
-            lp_before = v_ld(states, betas_loc, isvar_loc, ref_params)
             chain_params = jax.tree.map(lambda a: a[chain_flat], exp_state)
 
             def one_step(key, x, lp0, beta, isvar, cp):
@@ -329,9 +371,9 @@ def _make_round_kernel(
                 )
 
             out = jax.vmap(one_step)(
-                flat_keys, states, lp_before, betas_loc, isvar_loc, chain_params
+                flat_keys, states, lp_cur, betas_loc, isvar_loc, chain_params
             )
-            x_after, lp_after = out.x, out.lp
+        x_after = out.x
         if use_iid_reference:
             iid_keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_iid_r)
             is_ref_loc = ref_mask[chain_flat] & (n > 1)
@@ -340,10 +382,10 @@ def _make_round_kernel(
                 iid_keys.reshape((R * n,) + iid_keys.shape[2:]), isvar_loc
             )
             x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
-            lp_after = jnp.where(
-                is_ref_loc, v_ld(iid, betas[chain_flat], isvar_loc, ref_params),
-                lp_after,
-            )
+
+        lp_after, lp_partner = _fused_post_densities(
+            x_after, chain_flat, scan_idx, betas, is_var, ref_params
+        )
 
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
         d = states.shape[-1]
@@ -351,20 +393,20 @@ def _make_round_kernel(
         def per_rep(a):
             return a.reshape((R, n) + a.shape[1:])
 
-        def post_r(mk, xa, lpa, lpb, st, co, ro, rc):
+        def post_r(mk, xa, lpa, lpp, lpb, st, co, ro, rc):
             return post_one(
-                xa, lpa, lpb, st, co, ro, rc, mk, round_idx, scan_idx, betas,
-                is_var, ref_mask, target_mask, ref_params, gidx
+                xa, lpa, lpp, lpb, st, co, ro, rc, mk, round_idx, scan_idx,
+                betas, is_var, ref_mask, target_mask, ref_params, gidx
             )
 
         stats_r = jax.tree.map(
             lambda a: per_rep(a) if hasattr(a, "shape") and a.ndim else a, stats
         )
-        (xa, co, ro, rec), outputs = jax.vmap(post_r)(
-            master_keys, per_rep(x_after), per_rep(lp_after), per_rep(lp_before),
-            stats_r, chain_of, replica_of, rec
+        (xa, co, ro, lp_next, rec), outputs = jax.vmap(post_r)(
+            master_keys, per_rep(x_after), per_rep(lp_after), per_rep(lp_partner),
+            per_rep(lp_cur), stats_r, chain_of, replica_of, rec
         )
-        return (xa.reshape(R * n, d), co, ro, rec), outputs
+        return (xa.reshape(R * n, d), co, ro, lp_next.reshape(R * n), rec), outputs
 
     def run_round(
         master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params, n_scans
@@ -375,6 +417,7 @@ def _make_round_kernel(
             dev = jax.lax.axis_index(axis)
             gidx = dev * n_local + jnp.arange(n_local)
         rec = init_recorders(n_chains, extract_dim, len(explorer.extra_names))
+        betas, is_var = ladder["betas"], ladder["is_var"]
         if n_replicates > 1:
             rec = jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (n_replicates,) + a.shape), rec
@@ -383,8 +426,8 @@ def _make_round_kernel(
                 scan_body_flat,
                 master_keys=master_key,
                 round_idx=round_idx,
-                betas=ladder["betas"],
-                is_var=ladder["is_var"],
+                betas=betas,
+                is_var=is_var,
                 ref_mask=ladder["ref_mask"],
                 target_mask=ladder["target_mask"],
                 exp_state=exp_state,
@@ -392,8 +435,11 @@ def _make_round_kernel(
             )
             d = states.shape[-1]
             flat = states.reshape(n_replicates * n_chains, d)
-            (flat, chain_of, replica_of, rec), outputs = jax.lax.scan(
-                body, (flat, chain_of, replica_of, rec), jnp.arange(1, n_scans + 1)
+            chain_flat = chain_of.reshape(-1)
+            lp0 = v_ld(flat, betas[chain_flat], is_var[chain_flat], ref_params)
+            (flat, chain_of, replica_of, _, rec), outputs = jax.lax.scan(
+                body, (flat, chain_of, replica_of, lp0, rec),
+                jnp.arange(1, n_scans + 1),
             )
             states = flat.reshape(n_replicates, n_chains, d)
             return states, chain_of, replica_of, rec, outputs
@@ -401,16 +447,19 @@ def _make_round_kernel(
             scan_body,
             master_key=master_key,
             round_idx=round_idx,
-            betas=ladder["betas"],
-            is_var=ladder["is_var"],
+            betas=betas,
+            is_var=is_var,
             ref_mask=ladder["ref_mask"],
             target_mask=ladder["target_mask"],
             exp_state=exp_state,
             ref_params=ref_params,
             gidx=gidx,
         )
-        (states, chain_of, replica_of, rec), outputs = jax.lax.scan(
-            body, (states, chain_of, replica_of, rec), jnp.arange(1, n_scans + 1)
+        chain_loc0 = chain_of[gidx]
+        lp0 = v_ld(states, betas[chain_loc0], is_var[chain_loc0], ref_params)
+        (states, chain_of, replica_of, _, rec), outputs = jax.lax.scan(
+            body, (states, chain_of, replica_of, lp0, rec),
+            jnp.arange(1, n_scans + 1),
         )
         return states, chain_of, replica_of, rec, outputs
 

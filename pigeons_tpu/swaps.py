@@ -98,12 +98,15 @@ def swap_scan(
     # pair, -1 if the high end, 0 otherwise
     up = jnp.concatenate([do_swap, jnp.zeros((1,), bool)])
     down = jnp.concatenate([jnp.zeros((1,), bool), do_swap])
-    delta = jnp.where(up, 1, jnp.where(down, -1, 0)).astype(chain_of.dtype)
+    # slice to n: the pair vector is padded to length 1 when n == 1
+    delta = jnp.where(up, 1, jnp.where(down, -1, 0)).astype(chain_of.dtype)[:n]
 
     new_chain_of = chain_of + delta[chain_of]
-    new_replica_of = jnp.zeros_like(replica_of).at[new_chain_of].set(
-        jnp.arange(n, dtype=replica_of.dtype)
-    )
+    # inverse permutation maintained by gathers (TPU scatters serialize):
+    # chain c's new replica is the one that sat at chain c -+ 1 if that pair
+    # swapped, else its own
+    src_chain = jnp.arange(n, dtype=replica_of.dtype) + delta
+    new_replica_of = replica_of[src_chain]
     return SwapResult(
         chain_of=new_chain_of,
         replica_of=new_replica_of,
