@@ -83,9 +83,15 @@ def _make_round_kernel(
     only adds exact zeros (the analogue of the reference's deterministic
     reductions, ``mpi_utils/Entangler.jl:214-277``).
     """
-    axis = mesh.axis if mesh is not None else None
+    # two sharding modes over the same 1-D mesh: chain-axis sharding for one
+    # big ladder (swap scalars all_gather each scan), or replicate-axis
+    # sharding for n_replicates independent ladders (embarrassingly parallel —
+    # no collectives at all; each device runs R/n_dev full ladders)
+    shard_replicates = mesh is not None and n_replicates > 1
+    axis = mesh.axis if (mesh is not None and not shard_replicates) else None
     n_dev = mesh.n_devices if mesh is not None else 1
-    n_local = n_chains // n_dev
+    n_local = n_chains // n_dev if axis is not None else n_chains
+    R_run = n_replicates // n_dev if shard_replicates else n_replicates
 
     def agather(x):
         return x if axis is None else jax.lax.all_gather(x, axis, tiled=True)
@@ -341,7 +347,7 @@ def _make_round_kernel(
         see the whole batch), swaps/recorders vmapped per ladder. RNG streams
         match the per-ladder formulation: replicate r uses keys derived from
         ``master_keys[r]`` exactly as a standalone run with that key would."""
-        R, n = n_replicates, n_chains
+        R, n = R_run, n_chains
         states, chain_of, replica_of, lp_cur, rec = carry  # [R*n, .], [R, n]
         chain_flat = chain_of.reshape(-1)
         gidx = jnp.arange(n)
@@ -420,7 +426,7 @@ def _make_round_kernel(
         betas, is_var = ladder["betas"], ladder["is_var"]
         if n_replicates > 1:
             rec = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (n_replicates,) + a.shape), rec
+                lambda a: jnp.broadcast_to(a, (R_run,) + a.shape), rec
             )
             body = partial(
                 scan_body_flat,
@@ -434,14 +440,14 @@ def _make_round_kernel(
                 ref_params=ref_params,
             )
             d = states.shape[-1]
-            flat = states.reshape(n_replicates * n_chains, d)
+            flat = states.reshape(R_run * n_chains, d)
             chain_flat = chain_of.reshape(-1)
             lp0 = v_ld(flat, betas[chain_flat], is_var[chain_flat], ref_params)
             (flat, chain_of, replica_of, _, rec), outputs = jax.lax.scan(
                 body, (flat, chain_of, replica_of, lp0, rec),
                 jnp.arange(1, n_scans + 1),
             )
-            states = flat.reshape(n_replicates, n_chains, d)
+            states = flat.reshape(R_run, n_chains, d)
             return states, chain_of, replica_of, rec, outputs
         body = partial(
             scan_body,
@@ -470,20 +476,32 @@ def _make_round_kernel(
         def f(mk, ri, b, s, co, ro, es, rp):
             return run_round(mk, ri, b, s, co, ro, es, rp, n_scans)
 
-        if mesh is None or n_replicates > 1:
+        if mesh is None:
             return f(
                 master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
             )
         from jax.sharding import PartitionSpec as P
 
-        R = P(mesh.axis)
-        wrapped = jax.shard_map(
-            f,
-            mesh=mesh.mesh,
-            in_specs=(P(), P(), P(), R, P(), P(), P(), P()),
-            out_specs=(R, P(), P(), P(), P()),
-            check_vma=False,
-        )
+        S = P(mesh.axis)
+        if shard_replicates:
+            # independent ladders block-partitioned over devices: every input
+            # with a leading replicate axis is sharded, everything else
+            # replicated; no collective appears anywhere in the round
+            wrapped = jax.shard_map(
+                f,
+                mesh=mesh.mesh,
+                in_specs=(S, P(), P(), S, S, S, P(), P()),
+                out_specs=(S, S, S, S, P(None, mesh.axis)),
+                check_vma=False,
+            )
+        else:
+            wrapped = jax.shard_map(
+                f,
+                mesh=mesh.mesh,
+                in_specs=(P(), P(), P(), S, P(), P(), P(), P()),
+                out_specs=(S, P(), P(), P(), P()),
+                check_vma=False,
+            )
         return wrapped(
             master_key, round_idx, ladder, states, chain_of, replica_of, exp_state, ref_params
         )
@@ -661,12 +679,21 @@ class PT:
         self.mesh = inputs.mesh
         if self.mesh is not None:
             if R > 1:
-                raise NotImplementedError(
-                    "n_replicates > 1 with a replica mesh is not supported yet; "
-                    "shard either the chain axis (mesh) or batch replicates"
-                )
-            self.mesh.validate(n)
-            self.states = self.mesh.shard_states(self.states)
+                # replicate-axis sharding: R independent ladders partitioned
+                # over the mesh (each device runs R/n_dev full ladders)
+                if R % self.mesh.n_devices != 0:
+                    raise ValueError(
+                        f"n_replicates ({R}) must be divisible by the mesh "
+                        f"size ({self.mesh.n_devices})"
+                    )
+                sh = self.mesh.sharding()
+                self.states = jax.device_put(self.states, sh)
+                self._key = jax.device_put(self._key, sh)
+                self.chain_of = jax.device_put(self.chain_of, sh)
+                self.replica_of = jax.device_put(self.replica_of, sh)
+            else:
+                self.mesh.validate(n)
+                self.states = self.mesh.shard_states(self.states)
 
         self.round_idx = 0
         self.reduced: Optional[ReducedRecorders] = None

@@ -63,3 +63,40 @@ def test_indivisible_chain_count_rejected():
     mesh = replica_mesh(jax.devices()[:4])
     with pytest.raises(ValueError, match="divisible"):
         run(mesh, n_chains=6)
+
+
+def _run_replicates(mesh, n_replicates=4):
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(3),
+            n_chains=4,
+            n_rounds=4,
+            seed=9,
+            n_replicates=n_replicates,
+            explorer=SliceSampler(n_passes=1),
+            show_report=False,
+            mesh=mesh,
+        )
+    )
+    pt.run()
+    return pt
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_replicate_axis_sharding_bitwise(n_devices):
+    """R independent ladders sharded over the mesh match the unsharded batch
+    bit-for-bit (no collectives: each device runs whole ladders)."""
+    serial = _run_replicates(None)
+    sharded = _run_replicates(replica_mesh(jax.devices()[:n_devices]))
+    assert np.array_equal(serial.sample_array(), sharded.sample_array())
+    assert serial.n_round_trips == sharded.n_round_trips
+    np.testing.assert_array_equal(
+        serial.reduced.accept_mean, sharded.reduced.accept_mean
+    )
+    assert serial.reports[-1].log_z_estimate == sharded.reports[-1].log_z_estimate
+
+
+def test_indivisible_replicate_count_rejected():
+    mesh = replica_mesh(jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        _run_replicates(mesh, n_replicates=6)
