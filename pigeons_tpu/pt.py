@@ -68,6 +68,7 @@ def _make_round_kernel(
     n_replicates: int = 1,  # batch this many independent ladders
     use_batched_explorer: bool = False,  # hand the whole batch to the explorer
     ld_coord=None,  # (v, c, beta, is_var, ref_params) -> scalar coordinate term
+    host_sequential: bool = False,  # stateful host-evaluated density: sequence evals
 ):
     """Build the jitted one-round kernel. Static configuration is closed over;
     everything that changes between rounds (betas, explorer state, reference
@@ -298,16 +299,28 @@ def _make_round_kernel(
         return (x_after, res.chain_of, res.replica_of, lp_next, rec), outputs
 
     def _fused_post_densities(x_after, chain_loc, scan_idx, betas, is_var,
-                              ref_params):
+                              ref_params, lp_guard=None):
         """Own-beta + partner-beta densities of the post-explore states in ONE
-        fused pass (shared endpoint densities)."""
+        fused pass (shared endpoint densities).
+
+        ``lp_guard``: for stateful host-evaluated densities (stream workers,
+        reference ``targets/StreamTarget.jl``), the density callback ignores
+        ``x`` (the worker owns the state), so XLA sees no data dependency
+        between the explorer's ``call_sampler!`` callback and these reads and
+        may reorder them. Adding an exact zero derived from the explorer's
+        output to the beta operands sequences every read after the move."""
         from .swaps import deo_partner_map
 
         partner_map = deo_partner_map(n_chains, scan_idx)
         partner_loc = partner_map[chain_loc]
+        b_own, b_pt = betas[chain_loc], betas[partner_loc]
+        if lp_guard is not None:
+            z = jnp.nan_to_num(lp_guard, nan=0.0, posinf=0.0, neginf=0.0) * 0.0
+            b_own = b_own + z
+            b_pt = b_pt + z
         return v_ld2(
-            x_after, betas[chain_loc], is_var[chain_loc], betas[partner_loc],
-            is_var[partner_loc], ref_params,
+            x_after, b_own, is_var[chain_loc], b_pt, is_var[partner_loc],
+            ref_params,
         )
 
     def scan_body(
@@ -329,7 +342,8 @@ def _make_round_kernel(
                 x_after, chain_loc, k_iid, gidx, is_var, ref_mask, ref_params
             )
         lp_after, lp_partner = _fused_post_densities(
-            x_after, chain_loc, scan_idx, betas, is_var, ref_params
+            x_after, chain_loc, scan_idx, betas, is_var, ref_params,
+            lp_guard=out.lp if host_sequential else None,
         )
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
         return post_one(
@@ -390,7 +404,8 @@ def _make_round_kernel(
             x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
 
         lp_after, lp_partner = _fused_post_densities(
-            x_after, chain_flat, scan_idx, betas, is_var, ref_params
+            x_after, chain_flat, scan_idx, betas, is_var, ref_params,
+            lp_guard=out.lp if host_sequential else None,
         )
 
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
@@ -755,6 +770,7 @@ class PT:
             n_replicates=R,
             use_batched_explorer=use_batched,
             ld_coord=self._ld_coord,
+            host_sequential=getattr(target, "host_evaluated", False),
         )
 
     # ------------------------------------------------------------------
