@@ -60,7 +60,7 @@ class _Worker:
     """One child process + the stdin/stdout protocol (expect-style scan for
     ``response(`` ... ``)``, tolerating informational prints in between)."""
 
-    def __init__(self, command: Sequence[str], echo: bool = False):
+    def __init__(self, command: Sequence[str], echo: bool = False, env=None):
         self.proc = subprocess.Popen(
             list(command),
             stdin=subprocess.PIPE,
@@ -68,6 +68,7 @@ class _Worker:
             stderr=subprocess.DEVNULL,
             text=True,
             bufsize=1,
+            env=env,
         )
         self.lock = threading.Lock()
         self.echo = echo
@@ -114,8 +115,13 @@ class _Worker:
 class _WorkerPool:
     """Lazily-spawned workers, one per replica index, driven concurrently."""
 
-    def __init__(self, command_builder: Callable[[int], Sequence[str]]):
+    def __init__(
+        self,
+        command_builder: Callable[[int], Sequence[str]],
+        env_builder: Optional[Callable[[int], dict]] = None,
+    ):
         self.command_builder = command_builder
+        self.env_builder = env_builder  # replica index -> process environment
         self.workers: dict[int, _Worker] = {}
         self.pool: Optional[ThreadPoolExecutor] = None
         self._spawn_lock = threading.Lock()
@@ -125,7 +131,10 @@ class _WorkerPool:
             if i not in self.workers:
                 # replica 1's informational output is echoed, as in the
                 # reference (StreamTarget.jl:118-122)
-                self.workers[i] = _Worker(self.command_builder(i), echo=(i == 0))
+                env = self.env_builder(i) if self.env_builder is not None else None
+                self.workers[i] = _Worker(
+                    self.command_builder(i), echo=(i == 0), env=env
+                )
             return self.workers[i]
 
     def invoke_batch(self, requests: list[str]) -> list[str]:
@@ -243,9 +252,14 @@ class StreamTarget(Target):
     dim = 1
     host_evaluated = True
 
-    def __init__(self, command_builder: Callable[[int], Sequence[str]]):
+    def __init__(
+        self,
+        command_builder: Callable[[int], Sequence[str]],
+        env_builder: Optional[Callable[[int], dict]] = None,
+    ):
         self._command_builder = command_builder
-        self.pool = _WorkerPool(command_builder)
+        self._env_builder = env_builder
+        self.pool = _WorkerPool(command_builder, env_builder)
 
     # -- Target interface ---------------------------------------------------
     def log_density(self, x):
@@ -274,11 +288,15 @@ class StreamTarget(Target):
         self.pool.close()
 
     def __getstate__(self):
-        return {"_command_builder": self._command_builder}
+        return {
+            "_command_builder": self._command_builder,
+            "_env_builder": self._env_builder,
+        }
 
     def __setstate__(self, state):
         self._command_builder = state["_command_builder"]
-        self.pool = _WorkerPool(self._command_builder)
+        self._env_builder = state.get("_env_builder")
+        self.pool = _WorkerPool(self._command_builder, self._env_builder)
 
 
 def kill_child_processes(pt) -> None:
@@ -325,33 +343,15 @@ class TreePPLTarget(StreamTarget):
 
     def __init__(self, command: Sequence[str], seed: int = 1):
         base = list(command)
+        self._seed = seed
 
         def build(replica_index: int):
-            return base  # env is set by _Worker via command wrapper below
+            return base
 
-        self._seed = seed
-        super().__init__(build)
-        # wrap spawn to inject PPL_SEED per replica
-        pool = self.pool
+        def env(replica_index: int):
+            # the seed rides the PPL_SEED env var (TreePPLTarget.jl:166-167)
+            e = dict(os.environ)
+            e["PPL_SEED"] = str(java_seed(seed, replica_index))
+            return e
 
-        def worker(i: int, _orig=pool.worker):
-            with pool._spawn_lock:
-                if i not in pool.workers:
-                    env = dict(os.environ)
-                    env["PPL_SEED"] = str(java_seed(seed, i))
-                    w = _Worker.__new__(_Worker)
-                    w.proc = subprocess.Popen(
-                        base,
-                        stdin=subprocess.PIPE,
-                        stdout=subprocess.PIPE,
-                        stderr=subprocess.DEVNULL,
-                        text=True,
-                        bufsize=1,
-                        env=env,
-                    )
-                    w.lock = threading.Lock()
-                    w.echo = i == 0
-                    pool.workers[i] = w
-                return pool.workers[i]
-
-        pool.worker = worker
+        super().__init__(build, env)

@@ -19,8 +19,6 @@ EXPLORE = 0
 SWAP_UNIFORM = 1
 IID = 2
 INIT = 3
-EXPLORE_SELECT = 4
-VARIATIONAL = 5
 
 
 def master_key(seed: int) -> jax.Array:
@@ -44,10 +42,3 @@ def keys_for(key: jax.Array, indices: jax.Array) -> jax.Array:
     mesh each device derives the keys of its own shard, so the streams match
     the single-device run bit-for-bit (layout invariance)."""
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(indices)
-
-
-def chain_key(key: jax.Array, chain_idx) -> jax.Array:
-    """Key derived from a *chain* index (used for swap uniforms so that both
-    members of a swap pair can derive the identical uniform; reference takes the
-    uniform from the lower-indexed chain, ``src/swap/pair_swapper.jl:81-85``)."""
-    return jax.random.fold_in(key, chain_idx)
