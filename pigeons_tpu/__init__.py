@@ -29,6 +29,7 @@ from .models import (
     logistic_regression,
     mrna_target,
     mvn_target,
+    poisson_count_target,
     toy_mvn_target,
     unid_target,
 )
@@ -89,6 +90,7 @@ __all__ = [
     "logistic_regression",
     "mrna_target",
     "mvn_target",
+    "poisson_count_target",
     "unid_target",
     "SliceSampler",
     "SliceSamplerPallas",

@@ -107,6 +107,65 @@ def banana(n_y: int = 9, scale: float = 1.0) -> Banana:
     return Banana(n_y, scale)
 
 
+@dataclass(frozen=True)
+class PoissonCount(Target):
+    """Mixed integer/continuous toy target: k ~ Poisson(rate) (an ordinal
+    coordinate) alongside n_cont iid N(0, 1) coordinates. Exercises the
+    slice sampler's integer conventions (reference
+    ``src/explorers/SliceSampler.jl:136-142,189``: integer initial window and
+    inclusive-range candidate draws); the state is a float vector carrying
+    whole values at the count coordinates, as in the reference's typed state.
+    """
+
+    rate: float = 5.0
+    n_cont: int = 1
+
+    @property
+    def dim(self):
+        return 1 + self.n_cont
+
+    @property
+    def integer_mask(self):
+        import numpy as np
+
+        m = np.zeros(self.dim, bool)
+        m[0] = True
+        return m
+
+    def log_density(self, s):
+        k, x = s[0], s[1:]
+        valid = (k >= 0) & (jnp.abs(k - jnp.round(k)) < 0.5)
+        lp_k = k * math.log(self.rate) - jax.lax.lgamma(k + 1.0) - self.rate
+        lp_x = jnp.sum(-0.5 * x * x - 0.5 * math.log(2 * math.pi))
+        return jnp.where(valid, lp_k + lp_x, -jnp.inf)
+
+    def default_reference(self) -> Reference:
+        # reference measure: Poisson(rate) x N(0,1), iid-sampleable — the
+        # target IS the reference here, keeping the ladder trivial so tests
+        # focus on the integer explorer mechanics
+        return Reference(
+            log_density=self.log_density, sample_iid=self.sample_iid_target
+        )
+
+    def default_explorer(self):
+        from ..ops import SliceSampler
+
+        return SliceSampler(integer_mask=self.integer_mask)
+
+    def sample_iid_target(self, key):
+        kk, kx = jax.random.split(key)
+        k = jax.random.poisson(kk, self.rate).astype(jnp.float32)
+        x = jax.random.normal(kx, (self.n_cont,))
+        return jnp.concatenate([k[None], x])
+
+    def initialization(self, key):
+        return self.sample_iid_target(key)
+
+
+def poisson_count_target(rate: float = 5.0, n_cont: int = 1) -> PoissonCount:
+    return PoissonCount(rate, n_cont)
+
+
 # ---------------------------------------------------------------------------
 # Bayesian models (priors + likelihood, constrained parameters)
 # ---------------------------------------------------------------------------

@@ -29,15 +29,23 @@ shape of the control flow decides the memory traffic per batched iteration:
 Matching the reference: unlike the serial reference, the validity check
 refreshes endpoint log densities eagerly each halving step (one eval per
 iteration): under vmap the lazy-staleness bookkeeping buys nothing, since
-masked lanes execute anyway. Continuous (float) coordinates only — the
-reference's Bool/Integer coordinate special-cases (``:65-86,136-142``) are
-handled by ``BinaryGibbs`` for binary states.
+masked lanes execute anyway.
+
+Mixed coordinate types: ``integer_mask`` marks ordinal (integer-valued)
+coordinates, handled with the reference's integer conventions
+(``SliceSampler.jl:136-142,189``): the initial window is
+``L = old - Uniform{0..w}``, ``R = L + w`` (``w`` must be a whole number),
+and shrink candidates draw uniformly from the INCLUSIVE integer range
+``{Lb..Rb}``. States stay float arrays carrying whole values — the density
+sees floats holding integers, like the reference's typed state vector.
+Bool coordinates are handled by ``BinaryGibbs`` (full-conditional draw).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .base import Explorer, StepOut
@@ -47,29 +55,51 @@ DOUBLE, SHRINK, CHECK, STOP = range(4)
 
 
 class SliceSampler(Explorer):
-    def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3, max_iter: int = 1024):
+    def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
+                 max_iter: int = 1024, integer_mask=None):
         self.w = float(w)
         self.p = int(p)
         self.n_passes = int(n_passes)
         self.max_iter = int(max_iter)
+        if integer_mask is not None:
+            integer_mask = np.asarray(integer_mask, bool)
+            if integer_mask.any() and self.w != round(self.w):
+                # reference: "for integer variables, the width should be an
+                # integer" (SliceSampler.jl:138)
+                raise ValueError(
+                    f"integer coordinates need a whole-number slice width; got w={self.w}"
+                )
+        self.integer_mask = integer_mask
 
     def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
         d = x.shape[0]
         f = lp0.dtype
         w = jnp.asarray(self.w, f)
         rtol = jnp.asarray(3.5e-4 if f == jnp.float32 else 1.5e-8, f)
+        int_mask = (
+            jnp.asarray(self.integer_mask)
+            if self.integer_mask is not None
+            else None
+        )
 
         def coord_step(i, carry):
             x, lp_cur, acc_sum, acc_n, n_evals = carry
             c = i % d
             k_c = jax.random.fold_in(key, i)
+            is_int = int_mask[c] if int_mask is not None else jnp.asarray(False)
 
             def lp_at(v):
                 return lp_fn(x.at[c].set(v))
 
             old = x[c]
             z = lp_cur - jax.random.exponential(jax.random.fold_in(k_c, 0), dtype=f)
-            L0 = old - w * jax.random.uniform(jax.random.fold_in(k_c, 1), dtype=f)
+            u_init = jax.random.uniform(jax.random.fold_in(k_c, 1), dtype=f)
+            # integer coords: L = old - Uniform{0..w} (inclusive), R = L + w
+            L0 = jnp.where(
+                is_int,
+                old - jnp.floor(u_init * (w + 1.0)),
+                old - w * u_init,
+            )
             R0 = L0 + w
             lpL0 = lp_at(L0)
             lpR0 = lp_at(R0)
@@ -101,7 +131,13 @@ class SliceSampler(Explorer):
                 grow_left = u_side <= 0.5
                 span = R - L
                 dbl_q = jnp.where(grow_left, L - span, R + span)
-                cand_draw = Lb + u_shr * (Rb - Lb)
+                # integer coords draw uniformly over the INCLUSIVE range
+                # {Lb..Rb} (reference draw_new_position, SliceSampler.jl:189)
+                cand_draw = jnp.where(
+                    is_int,
+                    Lb + jnp.floor(u_shr * (Rb - Lb + 1.0)),
+                    Lb + u_shr * (Rb - Lb),
+                )
                 M = 0.5 * (Lh + Rh)
                 query = lax.select_n(phase, dbl_q, cand_draw, M, old)
                 lp_q = lp_at(query)
@@ -152,8 +188,11 @@ class SliceSampler(Explorer):
                 shrink_left = cand < old
                 Lb = jnp.where(rejected & shrink_left, cand, Lb)
                 Rb = jnp.where(rejected & ~shrink_left, cand, Rb)
-                degenerate = jnp.abs(Rb - Lb) <= rtol * jnp.maximum(
-                    jnp.abs(Lb), jnp.abs(Rb)
+                degenerate = jnp.where(
+                    is_int,
+                    (Rb - Lb) < 0.5,  # single remaining integer candidate
+                    jnp.abs(Rb - Lb)
+                    <= rtol * jnp.maximum(jnp.abs(Lb), jnp.abs(Rb)),
                 )
                 bail = rejected & (degenerate | (n_shr >= self.max_iter))
 

@@ -45,3 +45,39 @@ class BrokenKernel(Explorer):
 def test_broken_kernel_detected():
     res = invariance_test(toy_mvn_target(3), BrokenKernel(), n_iid_samples=N)
     assert not res.passed
+
+
+def test_slice_invariant_integer_coords():
+    """Mixed integer/continuous target (reference SliceSampler.jl:136-142,189
+    integer conventions): one explorer step leaves Poisson(5) x N(0,1)
+    invariant, and integer coordinates stay whole."""
+    import jax
+    import numpy as np
+    from pigeons_tpu import poisson_count_target
+
+    t = poisson_count_target(5.0, 1)
+    explorer = t.default_explorer()
+    res = invariance_test(t, explorer, n_iid_samples=N)
+    assert res.passed, f"failed dims {res.failed_dims}, pvalues {res.pvalues}"
+
+    # mechanics: stepped states keep whole values at the count coordinate
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(3), jnp.arange(256)
+    )
+    xs = jax.vmap(t.sample_iid_target)(keys)
+    cp = jax.tree_util.tree_map(lambda a: a[0], explorer.init_state(1, t.dim))
+    out = jax.vmap(
+        lambda k, x: explorer.step(
+            k, x, t.log_density(x), t.log_density, 1.0, cp, 2
+        )
+    )(keys, xs)
+    k_col = np.asarray(out.x[:, 0])
+    assert np.all(k_col == np.round(k_col)) and np.all(k_col >= 0)
+    assert not np.allclose(k_col, np.asarray(xs[:, 0]))  # it actually moves
+
+
+def test_integer_slice_width_validation():
+    from pigeons_tpu import SliceSampler as SS
+
+    with pytest.raises(ValueError, match="whole-number"):
+        SS(w=2.5, integer_mask=[True])

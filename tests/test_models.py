@@ -111,3 +111,24 @@ def test_sample_names():
     assert names[0] == "theta_trans[0]"
     assert names[-1] == "log_density"
     assert len(names) == t.dim + 1
+
+
+def test_poisson_count_end_to_end():
+    """Full PT run on the mixed integer/continuous count model: pooled
+    moments match Poisson(rate) (mean = var = rate) and N(0,1)."""
+    import numpy as np
+
+    import pigeons_tpu as pg
+
+    pt = pg.pigeons(
+        target=pg.poisson_count_target(5.0, 1),
+        n_chains=2,
+        n_rounds=9,
+        seed=4,
+        show_report=False,
+    )
+    mean, var = pt.mean(), pt.var()
+    assert abs(mean[0] - 5.0) < 0.6 and abs(var[0] - 5.0) < 1.5
+    assert abs(mean[1]) < 0.25 and abs(var[1] - 1.0) < 0.35
+    samples = pt.sample_array()[:, 0]
+    assert np.all(samples == np.round(samples))
