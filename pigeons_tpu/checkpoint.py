@@ -122,10 +122,12 @@ def write_checkpoint(pt) -> str:
     folder = round_folder(pt.exec_folder, pt.round_idx)
     os.makedirs(folder, exist_ok=True)
 
+    from .parallel.sharding import to_host
+
     arrays = {
-        "states": np.asarray(pt.states),
-        "chain_of": np.asarray(pt.chain_of),
-        "replica_of": np.asarray(pt.replica_of),
+        "states": to_host(pt.states),
+        "chain_of": to_host(pt.chain_of),
+        "replica_of": to_host(pt.replica_of),
         "schedule": np.asarray(pt.schedule.grids),
     }
     if pt.schedule_var is not None:
@@ -141,6 +143,11 @@ def write_checkpoint(pt) -> str:
     if pt._ref_params != ():
         for k, v in pt._ref_params.items():
             arrays[f"ref_params_{k}"] = np.asarray(v)
+    if jax.process_index() != 0:
+        # multi-process: every process joined the to_host collectives above;
+        # only the coordinator writes files (reference only_one_process,
+        # checkpoint.jl via mpi_utils/misc.jl)
+        return folder
     np.savez(os.path.join(folder, "checkpoint.npz"), **arrays)
 
     # config + host-side state (inputs minus the non-picklable mesh)

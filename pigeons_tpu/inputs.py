@@ -41,6 +41,20 @@ class Inputs:
     # Optional ReplicaMesh: shard the replica axis over a 1-D device mesh
     # (the analogue of launching the reference over MPI processes).
     mesh: Optional[Any] = None
+    # Capture a JAX profiler trace (XLA op timeline, HBM usage; view with
+    # TensorBoard or Perfetto) of each round >= profile_round under
+    # ``<exec_folder>/profile/`` — the TPU-native analogue of the reference's
+    # per-round @timed instrumentation (recorders/recorder.jl:118-142).
+    # 0 disables. Requires checkpoint=True or an explicit checkpoint_folder.
+    profile_round: int = 0
+    # Custom swap graph: traced ``(n_chains, scan_idx) -> int32[N]`` partner
+    # map (an involution; partner[c] == c means chain c idles this scan).
+    # None selects the non-reversible DEO graph. The TPU form of the
+    # reference's swap_graphs extension point (``src/swap/swap_graph.jl``).
+    # Note: schedule adaptation interprets pair statistics as ADJACENT-pair
+    # rejection rates, so non-adjacent custom graphs should run with
+    # adaptation converged or disabled.
+    swap_graph: Optional[Any] = None
 
     def __post_init__(self):
         self.record = tuple(self.record)

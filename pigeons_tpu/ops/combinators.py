@@ -69,30 +69,45 @@ class Compose(Explorer):
 
 class Mix(Explorer):
     """Uniform random mixture: pick one component per step
-    (reference ``Mix.jl:23``)."""
+    (reference ``Mix.jl:23``).
+
+    Components with extra recorders get FIXED slots in the concatenated
+    extras vector (as in :class:`Compose`); per step only the selected
+    component's slots receive mass — its counts are masked by the selection,
+    so per-chain means stay well-defined (the reference records into a
+    per-component GroupBy the same way)."""
 
     def __init__(self, *explorers):
         self.explorers = tuple(explorers)
+        self.extra_names = tuple(
+            f"{i}_{name}" for i, e in enumerate(self.explorers) for name in e.extra_names
+        )
+        self._extra_slices = []
+        off = 0
         for e in self.explorers:
-            if e.extra_names:
-                # a per-step random subset of extras would make the per-chain
-                # counts ambiguous; Compose supports extras, Mix does not yet
-                raise NotImplementedError(
-                    "Mix over explorers with extra recorders is not supported; "
-                    "use Compose or a single explorer"
-                )
+            k = len(e.extra_names)
+            self._extra_slices.append((off, k))
+            off += k
 
     def init_state(self, n_chains: int, dim: int):
         return tuple(e.init_state(n_chains, dim) for e in self.explorers)
 
     def adapt(self, state, reduced, round_idx: int):
-        return tuple(
-            e.adapt(s, reduced, round_idx) for e, s in zip(self.explorers, state)
-        )
+        out = []
+        for e, s, (off, k) in zip(self.explorers, state, self._extra_slices):
+            view = reduced
+            if k:
+                view = reduced._replace(
+                    extra_mean=reduced.extra_mean[:, off : off + k],
+                    extra_n=reduced.extra_n[:, off : off + k],
+                )
+            out.append(e.adapt(s, view, round_idx))
+        return tuple(out)
 
     def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
         k_pick, k_step = jax.random.split(key)
         idx = jax.random.randint(k_pick, (), 0, len(self.explorers))
+        K = len(self.extra_names)
 
         def make_branch(i):
             def branch(args):
@@ -100,7 +115,19 @@ class Mix(Explorer):
                 out = self.explorers[i].step(
                     k_step, x, lp0, lp_fn, beta, chain_params[i], scan_idx
                 )
-                return StepOut(out.x, out.lp, out.accept_sum, out.accept_n, out.n_steps)
+                if K:
+                    off, k = self._extra_slices[i]
+                    es = jnp.zeros(K, jnp.float32)
+                    en = jnp.zeros(K, jnp.float32)
+                    if k:
+                        es = es.at[off : off + k].set(out.extras_sum)
+                        en = en.at[off : off + k].set(out.extras_n)
+                else:
+                    es, en = (), ()
+                return StepOut(
+                    out.x, out.lp, out.accept_sum, out.accept_n, out.n_steps,
+                    es, en,
+                )
 
             return branch
 

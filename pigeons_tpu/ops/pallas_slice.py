@@ -287,9 +287,10 @@ def _banded_sweep_kernel(
     # prefetch/scalar inputs
     seeds_ref,  # SMEM [n_blocks * n_bands] int32
     nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
-    *refs,  # x band, betas, isvar, hoisted consts, outputs, scratch
-    coord_eval,  # ([S,BLK] v, [S,BLK] c, [S,BLK] b, [S,BLK] iv, consts) -> [S,BLK]
+    *refs,  # x band, betas, isvar, hoisted consts, coord bands, outputs, scratch
+    coord_eval,  # ([S,B] v, [S,B] c, [S,B] b, [S,B] iv, consts, cvals) -> [S,B]
     const_shapes=(),
+    n_coord: int = 0,  # per-coordinate parameter arrays, banded [S, 1] blocks
     dim: int,
     band: int,
     blk: int,
@@ -328,11 +329,16 @@ def _banded_sweep_kernel(
     n_consts = len(const_shapes)
     x_ref, betas_ref, isvar_ref = refs[0], refs[1], refs[2]
     const_refs = refs[3:3 + n_consts]
-    xout_ref, stats_ref, scr = refs[3 + n_consts:]
+    coord_refs = refs[3 + n_consts:3 + n_consts + n_coord]
+    xout_ref, stats_ref, scr = refs[3 + n_consts + n_coord:]
     consts = [
         r[:, :].reshape(shp).astype(dt)
         for r, (shp, dt) in zip(const_refs, const_shapes)
     ]
+    # per-coordinate parameter values of THIS band, broadcast over lanes —
+    # the banded BlockSpec already gathered the right rows (stored lane-wide
+    # as [d_pad, LANE]), so no dynamic gather appears in the kernel
+    cvals = [pltpu.repeat(r[:, :], blk // _LANE, axis=1) for r in coord_refs]
 
     blk_idx = pl.program_id(0)
     band_idx = pl.program_id(1)
@@ -354,7 +360,7 @@ def _banded_sweep_kernel(
     isvar2d = pltpu.repeat(isvar_ref[:, :], S, axis=0)
 
     def ceval(v2d):
-        return coord_eval(v2d, c2d, betas2d, isvar2d, consts)
+        return coord_eval(v2d, c2d, betas2d, isvar2d, consts, cvals)
 
     # pin the standard vreg layout (replicated-layout constants cannot be
     # carried once the body produces per-element values; see _sweep_kernel)
@@ -526,16 +532,18 @@ class SliceSamplerPallas(SliceSampler):
     tests); by default it is enabled automatically off-TPU.
     """
 
-    batched = True
-
     def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
                  max_iter: int = 1024, interpret: bool | None = None,
                  block_bytes: int = 24 * 1024 * 1024,
                  coord_deltas: bool = True,
                  parallel_coords: bool = True,
                  band: int = 8,
-                 parallel_blk: int = 2560):
-        super().__init__(w=w, p=p, n_passes=n_passes, max_iter=max_iter)
+                 parallel_blk: int = 2560,
+                 integer_mask=None):
+        super().__init__(
+            w=w, p=p, n_passes=n_passes, max_iter=max_iter,
+            integer_mask=integer_mask,
+        )
         self.interpret = interpret
         self.block_bytes = int(block_bytes)
         self.coord_deltas = bool(coord_deltas)
@@ -549,36 +557,57 @@ class SliceSamplerPallas(SliceSampler):
         self.band = int(band)
         self.parallel_blk = int(parallel_blk)
 
+    @property
+    def batched(self) -> bool:
+        # integer/ordinal coordinates run through the XLA sampler (the
+        # Mosaic kernels implement the continuous draw conventions only)
+        return self.integer_mask is None
+
     def _use_interpret(self) -> bool:
         if self.interpret is not None:
             return self.interpret
         return jax.devices()[0].platform != "tpu"
 
     def supports_ref_params(self, ref_params) -> bool:
-        return ref_params == () or ref_params is None
+        if ref_params == () or ref_params is None:
+            return True
+        # array-pytree reference params (e.g. the variational Gaussian's
+        # mean/std/active) hoist into the kernel as ordinary tensor inputs;
+        # per-coordinate arrays additionally ride the banded block path
+        import jax as _jax
+
+        leaves = _jax.tree.leaves(ref_params)
+        return bool(leaves) and all(hasattr(l, "shape") for l in leaves)
 
     def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
-                     chain_params, scan_idx, ld_coord=None,
+                     chain_params, scan_idx, ld_coord=None, coord_arrays=(),
                      compute_final_lp: bool = True) -> StepOut:
         """Run the whole-sweep kernel over the replica batch.
 
         ``xs [B, dim]``, ``lp0s/betas/isvars [B]``; ``ld(x, beta, isvar,
         ref_params) -> scalar`` is the traced interpolated log density.
-        ``ld_coord(v, c, beta, isvar, ref_params) -> scalar``, when given,
-        is the contribution of coordinate ``c`` at value ``v`` of a
-        separable density — the kernel then answers every single-coordinate
+        ``ld_coord(v, c, beta, isvar, ref_params, *coord_vals) -> scalar``,
+        when given, is the contribution of coordinate ``c`` at value ``v`` of
+        a separable density — the kernel then answers every single-coordinate
         proposal as an O(1) delta instead of a full O(dim) recomputation
         (the reference's design cannot express this: its SliceSampler
         re-evaluates the full closure per proposal,
-        ``src/explorers/SliceSampler.jl:144-186``).
+        ``src/explorers/SliceSampler.jl:144-186``). ``coord_arrays`` are
+        [dim]-shaped per-coordinate parameter vectors (e.g. the variational
+        Gaussian's mean/std): the banded kernel receives coordinate ``c``'s
+        entries as already-gathered ``coord_vals`` scalars, delivered through
+        banded BlockSpecs — Mosaic supports no N-D dynamic gather, so density
+        closures must NOT index [dim] arrays by the traced ``c`` themselves
+        (it only happens to work in interpret mode).
         """
         if not self.supports_ref_params(ref_params):
             raise NotImplementedError(
-                "SliceSamplerPallas.step_batched does not take reference "
-                "params (variational runs use the XLA path)"
+                "SliceSamplerPallas.step_batched requires array-pytree "
+                "reference params"
             )
         B, dim = xs.shape
         interpret = self._use_interpret()
+        coord_arrays = tuple(coord_arrays)
         parallel = ld_coord is not None and self.coord_deltas and self.parallel_coords
 
         # lane padding + block decomposition; the banded kernel's state lives
@@ -633,10 +662,16 @@ class SliceSamplerPallas(SliceSampler):
             jnp.zeros((dim,), jnp.float32), f0, f0,
         )
         closed_coord, coord_consts = None, []
-        if ld_coord is not None and self.coord_deltas:
+        # the async kernel's O(1)-delta path gathers by a traced scalar c and
+        # cannot consume per-coordinate arrays; only the banded kernel can
+        # (they arrive as banded blocks), so gate the hoist accordingly
+        if ld_coord is not None and self.coord_deltas and (
+            parallel or not coord_arrays
+        ):
+            cv_ex = tuple(f0 for _ in coord_arrays)
             closed_coord, coord_consts = _hoist(
-                lambda v, c, b, iv: ld_coord(v, c, b, iv, ref_params),
-                f0, jnp.int32(0), f0, f0,
+                lambda v, c, b, iv, *cv: ld_coord(v, c, b, iv, ref_params, *cv),
+                f0, jnp.int32(0), f0, f0, *cv_ex,
             )
         n_lp = len(lp_consts)
         all_consts = list(lp_consts) + list(coord_consts)
@@ -662,7 +697,7 @@ class SliceSamplerPallas(SliceSampler):
             return out[None, :]
 
         coord_block = None
-        if closed_coord is not None:
+        if closed_coord is not None and not parallel:
 
             def coord_block(v_row, c_row, betas_row, isvar_row, kconsts):
                 cs = kconsts[n_lp:]
@@ -677,18 +712,28 @@ class SliceSamplerPallas(SliceSampler):
 
         if parallel:
 
-            def coord_eval2d(v2d, c2d, betas2d, isvar2d, kconsts):
+            def coord_eval2d(v2d, c2d, betas2d, isvar2d, kconsts, cvals2d):
                 cs = kconsts[n_lp:]
 
-                def f(v, c, b, iv):
-                    return closed_coord(v, c, b, iv, *cs)
+                def f(v, c, b, iv, *cv):
+                    return closed_coord(v, c, b, iv, *cv, *cs)
 
-                return jax.vmap(jax.vmap(f))(v2d, c2d, betas2d, isvar2d)
+                return jax.vmap(jax.vmap(f))(v2d, c2d, betas2d, isvar2d, *cvals2d)
+
+            # per-coordinate parameter vectors, stored lane-wide so the banded
+            # BlockSpec slices band g's rows (no dynamic gather in the kernel)
+            coord2d = [
+                jnp.zeros((d_pad, _LANE), jnp.float32)
+                .at[:dim, :]
+                .set(jnp.asarray(a, jnp.float32)[:, None])
+                for a in coord_arrays
+            ]
 
             kern = functools.partial(
                 _banded_sweep_kernel,
                 coord_eval=coord_eval2d,
                 const_shapes=const_shapes,
+                n_coord=len(coord2d),
                 dim=dim,
                 band=S,
                 blk=blk,
@@ -717,6 +762,12 @@ class SliceSamplerPallas(SliceSampler):
                         c.shape, lambda i, g, *_: (0, 0), memory_space=pltpu.VMEM
                     )
                     for c in consts2d
+                ]
+                + [
+                    pl.BlockSpec(
+                        (S, _LANE), lambda i, g, *_: (g, 0), memory_space=pltpu.VMEM
+                    )
+                    for _ in coord2d
                 ],
                 out_specs=(
                     pl.BlockSpec(
@@ -739,7 +790,7 @@ class SliceSamplerPallas(SliceSampler):
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=pltpu.InterpretParams() if interpret else False,
-            )(seeds, nact, x_db, betas_p, isvar_p, *consts2d)
+            )(seeds, nact, x_db, betas_p, isvar_p, *consts2d, *coord2d)
             x_new = x_out[:dim, :B].T
             # the kernel never sees the joint density (a band only holds its
             # own coordinates); recompute it in one fused XLA pass — unless
@@ -750,7 +801,11 @@ class SliceSamplerPallas(SliceSampler):
                     lambda xv, b, iv: ld(xv, b, iv, ref_params)
                 )(x_new, betas, jnp.asarray(isvars, jnp.float32))
             else:
-                lp_new = jnp.zeros((B,), jnp.float32)
+                # placeholder derived from the kernel output so a data
+                # dependency on the explorer survives even when the caller
+                # discards lp (the host_sequential guard in pt.py sequences
+                # host-callback density reads after the move through it)
+                lp_new = x_new[:, 0] * 0.0
             return StepOut(
                 x=x_new,
                 lp=lp_new,

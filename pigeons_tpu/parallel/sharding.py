@@ -55,7 +55,7 @@ class ReplicaMesh:
         return NamedSharding(self.mesh, P())
 
     def shard_states(self, states: jax.Array) -> jax.Array:
-        return jax.device_put(states, self.sharding())
+        return put_global(states, self.sharding())
 
     def validate(self, n_chains: int) -> None:
         if n_chains % self.n_devices != 0:
@@ -70,3 +70,37 @@ def replica_mesh(devices=None) -> ReplicaMesh:
     if devices is None:
         devices = jax.devices()
     return ReplicaMesh(Mesh(np.asarray(devices), (REPLICA_AXIS,)))
+
+
+def put_global(arr, sharding):
+    """Place a host array under ``sharding``, working in BOTH single- and
+    multi-process runs. Single process: plain ``device_put``. Multi-process
+    (``jax.distributed``): every process holds the same host value (all run
+    state is a deterministic function of the seed), so each process supplies
+    its addressable shards via ``make_array_from_callback`` — the TPU-native
+    analogue of the reference's per-rank ``LoadBalance`` slice construction
+    (``src/mpi_utils/LoadBalance.jl``)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
+def to_host(arr) -> np.ndarray:
+    """Fetch an array to host, working across process boundaries.
+
+    Replicated cross-process arrays read the local copy (no communication);
+    SHARDED cross-process arrays are re-laid-out replicated first, which is a
+    COLLECTIVE — every process must call it (the usual SPMD contract, same as
+    the reference's ``Allreduce`` discipline)."""
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    if arr.is_fully_replicated:
+        return np.asarray(arr.addressable_shards[0].data)
+    mesh = getattr(arr.sharding, "mesh", None)
+    if mesh is not None:
+        rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(arr)
+        return np.asarray(rep.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

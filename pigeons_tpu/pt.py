@@ -67,8 +67,10 @@ def _make_round_kernel(
     mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
     n_replicates: int = 1,  # batch this many independent ladders
     use_batched_explorer: bool = False,  # hand the whole batch to the explorer
-    ld_coord=None,  # (v, c, beta, is_var, ref_params) -> scalar coordinate term
+    ld_coord=None,  # (v, c, beta, is_var, ref_params, *coord_vals) -> scalar
+    coord_arrays_fn=None,  # ref_params -> tuple of [dim] per-coordinate arrays
     host_sequential: bool = False,  # stateful host-evaluated density: sequence evals
+    swap_graph=None,  # (n_chains, scan_idx) -> [N] partner map; default DEO
 ):
     """Build the jitted one-round kernel. Static configuration is closed over;
     everything that changes between rounds (betas, explorer state, reference
@@ -88,6 +90,15 @@ def _make_round_kernel(
     # big ladder (swap scalars all_gather each scan), or replicate-axis
     # sharding for n_replicates independent ladders (embarrassingly parallel —
     # no collectives at all; each device runs R/n_dev full ladders)
+    if host_sequential and use_batched_explorer:
+        # host callbacks cannot run inside a Pallas kernel, and the
+        # callback-sequencing guard relies on the explorer's lp output
+        raise ValueError(
+            "batched (Pallas) explorers cannot drive host-evaluated targets; "
+            "use the XLA explorer path"
+        )
+    if swap_graph is None:
+        from .swaps import deo_partner_map as swap_graph
     shard_replicates = mesh is not None and n_replicates > 1
     axis = mesh.axis if (mesh is not None and not shard_replicates) else None
     n_dev = mesh.n_devices if mesh is not None else 1
@@ -134,10 +145,18 @@ def _make_round_kernel(
         chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
         if use_batched_explorer:
+            # under a chain-sharded mesh every device runs the kernel on its
+            # own lane block with the SAME replicated scan key; salt it with
+            # the device index so shard streams are distinct (the kernel's
+            # in-block PRNG cannot use per-lane global-index streams)
+            k_dev = k_explore if axis is None else jax.random.fold_in(
+                k_explore, jax.lax.axis_index(axis)
+            )
+            cv = coord_arrays_fn(ref_params) if coord_arrays_fn is not None else ()
             out = explorer.step_batched(
-                k_explore, states, lp_before, ld, betas_loc, isvar_loc,
+                k_dev, states, lp_before, ld, betas_loc, isvar_loc,
                 ref_params, chain_params, scan_idx, ld_coord=ld_coord,
-                compute_final_lp=False,
+                coord_arrays=cv, compute_final_lp=False,
             )
         else:
             keys = rng.keys_for(k_explore, keys_gidx)
@@ -214,16 +233,18 @@ def _make_round_kernel(
             chain_update = apsum(
                 jnp.zeros((n, rows.shape[1]), rows.dtype).at[chain_loc].add(rows)
             )
+        from .recorders import kadd
+
         rec = rec._replace(
-            energy=rec.energy + chain_update[:, :6],
-            exp_accept_sum=rec.exp_accept_sum + chain_update[:, 6],
-            exp_accept_n=rec.exp_accept_n + chain_update[:, 7],
-            exp_steps=rec.exp_steps + chain_update[:, 8],
+            energy=kadd(rec.energy, chain_update[:, :6]),
+            exp_accept_sum=kadd(rec.exp_accept_sum, chain_update[:, 6]),
+            exp_accept_n=kadd(rec.exp_accept_n, chain_update[:, 7]),
+            exp_steps=kadd(rec.exp_steps, chain_update[:, 8]),
         )
         if n_extras:
             rec = rec._replace(
-                extra_sum=rec.extra_sum + chain_update[:, 9 : 9 + n_extras],
-                extra_n=rec.extra_n + chain_update[:, 9 + n_extras :],
+                extra_sum=kadd(rec.extra_sum, chain_update[:, 9 : 9 + n_extras]),
+                extra_n=kadd(rec.extra_n, chain_update[:, 9 + n_extras :]),
             )
 
         # online moments + trace at the target chain(s) (reference
@@ -248,9 +269,9 @@ def _make_round_kernel(
                 )
             extract = jnp.stack(extracts)  # [T, d+1]
         rec = rec._replace(
-            online_n=rec.online_n + float(len(target_positions)),
-            online_sum=rec.online_sum + jnp.sum(extract, axis=0),
-            online_sumsq=rec.online_sumsq + jnp.sum(extract**2, axis=0),
+            online_n=kadd(rec.online_n, float(len(target_positions))),
+            online_sum=kadd(rec.online_sum, jnp.sum(extract, axis=0)),
+            online_sumsq=kadd(rec.online_sumsq, jnp.sum(extract**2, axis=0)),
         )
 
         # ---------------- communicate ----------------
@@ -263,11 +284,17 @@ def _make_round_kernel(
         log_ratio = agather(lp_partner - lp_after)  # [N] in global replica order
 
         k_swap = rng.scan_key(master_key, round_idx, scan_idx, rng.SWAP_UNIFORM)
-        res = swap_scan(k_swap, scan_idx, chain_of, replica_of, log_ratio, accept_fn)
+        partner_map = swap_graph(n_chains, scan_idx)
+        res = swap_scan(
+            k_swap, scan_idx, chain_of, replica_of, log_ratio, accept_fn,
+            partner_map=partner_map,
+        )
 
         rec = rec._replace(
-            accept_sum=rec.accept_sum + jnp.where(res.pair_active, res.accept_pr, 0.0),
-            accept_n=rec.accept_n + res.pair_active.astype(rec.accept_n.dtype),
+            accept_sum=kadd(
+                rec.accept_sum, jnp.where(res.pair_active, res.accept_pr, 0.0)
+            ),
+            accept_n=kadd(rec.accept_n, res.pair_active.astype(jnp.float32)),
         )
         if record_swap_stats:
             lsr_fwd, lsr_fwd_n = update_logsum(
@@ -298,7 +325,7 @@ def _make_round_kernel(
 
         return (x_after, res.chain_of, res.replica_of, lp_next, rec), outputs
 
-    def _fused_post_densities(x_after, chain_loc, scan_idx, betas, is_var,
+    def _fused_post_densities(x_after, chain_loc, partner_map, betas, is_var,
                               ref_params, lp_guard=None):
         """Own-beta + partner-beta densities of the post-explore states in ONE
         fused pass (shared endpoint densities).
@@ -309,9 +336,6 @@ def _make_round_kernel(
         between the explorer's ``call_sampler!`` callback and these reads and
         may reorder them. Adding an exact zero derived from the explorer's
         output to the beta operands sequences every read after the move."""
-        from .swaps import deo_partner_map
-
-        partner_map = deo_partner_map(n_chains, scan_idx)
         partner_loc = partner_map[chain_loc]
         b_own, b_pt = betas[chain_loc], betas[partner_loc]
         if lp_guard is not None:
@@ -342,8 +366,8 @@ def _make_round_kernel(
                 x_after, chain_loc, k_iid, gidx, is_var, ref_mask, ref_params
             )
         lp_after, lp_partner = _fused_post_densities(
-            x_after, chain_loc, scan_idx, betas, is_var, ref_params,
-            lp_guard=out.lp if host_sequential else None,
+            x_after, chain_loc, swap_graph(n_chains, scan_idx), betas, is_var,
+            ref_params, lp_guard=out.lp if host_sequential else None,
         )
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
         return post_one(
@@ -404,8 +428,8 @@ def _make_round_kernel(
             x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
 
         lp_after, lp_partner = _fused_post_densities(
-            x_after, chain_flat, scan_idx, betas, is_var, ref_params,
-            lp_guard=out.lp if host_sequential else None,
+            x_after, chain_flat, swap_graph(n_chains, scan_idx), betas, is_var,
+            ref_params, lp_guard=out.lp if host_sequential else None,
         )
 
         stats = (out.accept_sum, out.accept_n, out.n_steps, out.extras_sum, out.extras_n)
@@ -552,6 +576,10 @@ class RoundReport:
     wall_time_s: float
     global_barrier_variational: float = float("nan")
     peak_memory_bytes: int = 0
+    # reference report.jl:22-25 columns: max|ρ| (lag-1 energy autocorrelation
+    # across chains) and mean(αₑ) (explorer MH/considered acceptance)
+    max_energy_ac1: float = float("nan")
+    mean_explorer_accept: float = float("nan")
 
 
 class PT:
@@ -638,16 +666,40 @@ class PT:
         self._sample_reference = sample_ref
 
         # coordinate-wise density decomposition: lets the Pallas slice
-        # sampler evaluate single-coordinate proposals as O(1) deltas
+        # sampler evaluate single-coordinate proposals as O(1) deltas (and
+        # run the banded kernel's independent 1-D machines). coord_arrays_fn
+        # maps ref_params -> per-coordinate [dim] parameter vectors, which
+        # reach the kernel as banded blocks (never gathered by traced index)
+        # and are handed to ld_coord as already-gathered scalars.
         ld_coord = None
-        if variational is None and getattr(path, "has_coordwise", False):
+        coord_arrays_fn = None
+        if getattr(path, "has_coordwise", False):
+            if variational is None:
 
-            def ld_coord(v, c, beta, isvar, ref_params):
-                del isvar, ref_params
-                lp = path.coord_log_density(v, c, beta)
-                return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+                def ld_coord(v, c, beta, isvar, ref_params):
+                    del isvar, ref_params
+                    lp = path.coord_log_density(v, c, beta)
+                    return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
+            elif hasattr(variational, "coord_log_density"):
+                # mean-field references are additively separable, so the
+                # variational leg's path decomposes coordinate-wise too
+                from .paths import _guarded_mul
+
+                def ld_coord(v, c, beta, isvar, ref_params, mean_c, std_c):
+                    l_fixed = path.coord_log_density(v, c, beta)
+                    l_ref = variational.coord_log_density(v, mean_c, std_c)
+                    l_tgt = path.coord_log_density(v, c, jnp.ones_like(beta))
+                    l_var = _guarded_mul(1.0 - beta, l_ref) + _guarded_mul(
+                        beta, l_tgt
+                    )
+                    use_var = (isvar > 0) & (ref_params["active"] > 0)
+                    lp = jnp.where(use_var, l_var, l_fixed)
+                    return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+                coord_arrays_fn = variational.coord_param_arrays
         self._ld_coord = ld_coord
+        self._coord_arrays_fn = coord_arrays_fn
 
         self.explorer = inputs.explorer or target.default_explorer()
         self.exp_state = self.explorer.init_state(n, target.dim)
@@ -701,11 +753,17 @@ class PT:
                         f"n_replicates ({R}) must be divisible by the mesh "
                         f"size ({self.mesh.n_devices})"
                     )
+                from .parallel.sharding import put_global
+
                 sh = self.mesh.sharding()
-                self.states = jax.device_put(self.states, sh)
-                self._key = jax.device_put(self._key, sh)
-                self.chain_of = jax.device_put(self.chain_of, sh)
-                self.replica_of = jax.device_put(self.replica_of, sh)
+                self.states = put_global(self.states, sh)
+                # PRNG key arrays round-trip through key_data for the
+                # multi-process path (raw keys have an opaque dtype)
+                self._key = jax.random.wrap_key_data(
+                    put_global(jax.random.key_data(self._key), sh)
+                )
+                self.chain_of = put_global(self.chain_of, sh)
+                self.replica_of = put_global(self.replica_of, sh)
             else:
                 self.mesh.validate(n)
                 self.states = self.mesh.shard_states(self.states)
@@ -742,12 +800,14 @@ class PT:
         )
 
         # batched explorers (pallas kernels) take the whole replica batch in
-        # one call; fall back to the vmapped per-replica path when the
-        # explorer cannot consume this run's reference params (variational)
-        # or when the replica axis is sharded over a mesh
+        # one call — including under a sharded mesh, where each device runs
+        # the kernel on its own lane block (distribution never changes the
+        # algorithm, the analogue of reference Entangler.jl:63-89); fall back
+        # to the vmapped per-replica path only when the explorer cannot
+        # consume this run's reference params or the target is host-evaluated
         use_batched = (
             getattr(self.explorer, "batched", False)
-            and self.mesh is None
+            and not getattr(target, "host_evaluated", False)
             and getattr(self.explorer, "supports_ref_params", lambda rp: False)(
                 self._ref_params
             )
@@ -770,7 +830,9 @@ class PT:
             n_replicates=R,
             use_batched_explorer=use_batched,
             ld_coord=self._ld_coord,
+            coord_arrays_fn=self._coord_arrays_fn,
             host_sequential=getattr(target, "host_evaluated", False),
+            swap_graph=inputs.swap_graph,
         )
 
     # ------------------------------------------------------------------
@@ -807,32 +869,50 @@ class PT:
         }
 
     def run_round(self, n_scans: Optional[int] = None) -> ReducedRecorders:
+        import contextlib
+
         self.round_idx += 1
         if n_scans is None:
             n_scans = 2**self.round_idx
+        profile_ctx = contextlib.nullcontext()
+        if (
+            self.inputs.profile_round
+            and self.round_idx >= self.inputs.profile_round
+            and self.exec_folder is not None
+        ):
+            # per-round device profile (XLA op timeline, memory) — the
+            # tracing/observability hook SURVEY §5 calls for; inspect with
+            # TensorBoard's profile plugin or Perfetto
+            import os as _os
+
+            profile_ctx = jax.profiler.trace(
+                _os.path.join(self.exec_folder, "profile", f"round={self.round_idx}")
+            )
         t0 = time.perf_counter()
-        states, chain_of, replica_of, rec, outputs = self._kernel(
-            self._key,
-            jnp.asarray(self.round_idx),
-            self._ladder(),
-            self.states,
-            self.chain_of,
-            self.replica_of,
-            self.exp_state,
-            self._ref_params,
-            n_scans=n_scans,
-        )
-        states.block_until_ready()
+        with profile_ctx:
+            states, chain_of, replica_of, rec, outputs = self._kernel(
+                self._key,
+                jnp.asarray(self.round_idx),
+                self._ladder(),
+                self.states,
+                self.chain_of,
+                self.replica_of,
+                self.exp_state,
+                self._ref_params,
+                n_scans=n_scans,
+            )
+            states.block_until_ready()
         wall = time.perf_counter() - t0
         self.states, self.chain_of, self.replica_of = states, chain_of, replica_of
+        from .parallel.sharding import to_host
+
         # trace shape: [(R,)? n_scans, T, d+1] -> pooled [iterations, d+1]
-        self.traces = np.asarray(outputs["trace"]).reshape(
-            -1, np.asarray(outputs["trace"]).shape[-1]
-        )
+        trace = to_host(outputs["trace"])
+        self.traces = trace.reshape(-1, trace.shape[-1])
         if "extended_trace" in outputs:
-            self.extended_traces = np.asarray(outputs["extended_trace"])
+            self.extended_traces = to_host(outputs["extended_trace"])
         if "index_process" in outputs:
-            self.index_process = np.asarray(outputs["index_process"])
+            self.index_process = to_host(outputs["index_process"])
         if "disk" in self.inputs.record and self.exec_folder is not None:
             from .checkpoint import write_samples
 
@@ -898,6 +978,10 @@ class PT:
             obs = reduced.accept_n > 0
             min_acc = float(np.min(reduced.accept_mean[obs])) if obs.any() else np.nan
             mean_acc = float(np.mean(reduced.accept_mean[obs])) if obs.any() else np.nan
+            ac1 = reduced.energy_ac1[np.isfinite(reduced.energy_ac1)]
+            max_ac1 = float(np.max(np.abs(ac1))) if ac1.size else np.nan
+            eacc = reduced.exp_accept[np.isfinite(reduced.exp_accept)]
+            mean_eacc = float(np.mean(eacc)) if eacc.size else np.nan
         report = RoundReport(
             round_idx=self.round_idx,
             n_scans=n_scans,
@@ -914,6 +998,8 @@ class PT:
                 self.barriers_var.global_barrier if self.barriers_var else float("nan")
             ),
             peak_memory_bytes=_device_peak_memory(),
+            max_energy_ac1=max_ac1,
+            mean_explorer_accept=mean_eacc,
         )
         self.reports.append(report)
         if self.inputs.show_report:
@@ -921,7 +1007,8 @@ class PT:
             if self.round_idx == 1:
                 print(
                     f"{'round':>5} {'scans':>6} {'restarts':>8} {'trips':>6} "
-                    f"{'Λ':>7}{var_col} {'logZ':>9} {'min(α)':>7} {'mean(α)':>7} {'time(s)':>8}"
+                    f"{'Λ':>7}{var_col} {'logZ':>9} {'min(α)':>7} {'mean(α)':>7} "
+                    f"{'max|ρ|':>7} {'mean(αe)':>8} {'time(s)':>8}"
                 )
             var_val = (
                 f" {report.global_barrier_variational:>7.3f}" if self.two_leg else ""
@@ -930,7 +1017,8 @@ class PT:
                 f"{report.round_idx:>5} {report.n_scans:>6} {report.n_tempered_restarts:>8} "
                 f"{report.n_round_trips:>6} {report.global_barrier:>7.3f}{var_val} "
                 f"{report.log_z_estimate:>9.3f} {report.min_swap_accept:>7.3f} "
-                f"{report.mean_swap_accept:>7.3f} {report.wall_time_s:>8.3f}"
+                f"{report.mean_swap_accept:>7.3f} {report.max_energy_ac1:>7.3f} "
+                f"{report.mean_explorer_accept:>8.3f} {report.wall_time_s:>8.3f}"
             )
 
     def _exec_device(self):

@@ -29,8 +29,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def kadd(acc, delta):
+    """Kahan-compensated accumulation for f32 carries.
+
+    ``acc`` is a ``[2, ...]`` stack of (running sum, compensation). The
+    reference accumulates its online statistics in Float64 OnlineStats
+    (``recorders/recorder.jl:93-102``); TPUs have no fast f64, so compensated
+    f32 summation recovers ~f64 accuracy for long rounds (2^r scans): the
+    compensation row carries what each add rounds away — including whole
+    increments once counts pass 2^24, where plain f32 addition silently
+    drops them."""
+    val, comp = acc[0], acc[1]
+    y = delta - comp
+    t = val + y
+    comp_new = (t - val) - y
+    return jnp.stack([t, comp_new])
+
+
+def kinit(*shape, dtype=jnp.float32):
+    return jnp.zeros((2,) + tuple(shape), dtype)
+
+
 class Recorders(NamedTuple):
-    # swap statistics, indexed by pair = lower chain, length N-1
+    # swap statistics, indexed by pair = lower chain, length N-1.
+    # Additive accumulators are [2, ...] Kahan stacks (see kadd).
     accept_sum: jax.Array
     accept_n: jax.Array
     lsr_fwd: jax.Array  # running logsumexp of forward log-ratios
@@ -61,8 +83,8 @@ def init_recorders(n_chains: int, extract_dim: int, n_extras: int = 0) -> Record
     n, m = n_chains, max(n_chains - 1, 1)
     f = jnp.float32
     return Recorders(
-        accept_sum=jnp.zeros(m, f),
-        accept_n=jnp.zeros(m, f),
+        accept_sum=kinit(m),
+        accept_n=kinit(m),
         lsr_fwd=jnp.full(m, -jnp.inf, f),
         lsr_fwd_n=jnp.zeros(m, f),
         lsr_bwd=jnp.full(m, -jnp.inf, f),
@@ -70,15 +92,15 @@ def init_recorders(n_chains: int, extract_dim: int, n_extras: int = 0) -> Record
         rt_state=jnp.zeros(n, jnp.int32),
         rt_restarts=jnp.zeros(n, jnp.int32),
         rt_trips=jnp.zeros(n, jnp.int32),
-        online_n=jnp.zeros((), f),
-        online_sum=jnp.zeros(extract_dim, f),
-        online_sumsq=jnp.zeros(extract_dim, f),
-        energy=jnp.zeros((n, 6), f),
-        exp_accept_sum=jnp.zeros(n, f),
-        exp_accept_n=jnp.zeros(n, f),
-        exp_steps=jnp.zeros(n, f),
-        extra_sum=jnp.zeros((n, n_extras), f),
-        extra_n=jnp.zeros((n, n_extras), f),
+        online_n=kinit(),
+        online_sum=kinit(extract_dim),
+        online_sumsq=kinit(extract_dim),
+        energy=kinit(n, 6),
+        exp_accept_sum=kinit(n),
+        exp_accept_n=kinit(n),
+        exp_steps=kinit(n),
+        extra_sum=kinit(n, n_extras),
+        extra_n=kinit(n, n_extras),
     )
 
 
@@ -126,7 +148,8 @@ class ReducedRecorders(NamedTuple):
 
 
 def merge_replicates(host: Recorders) -> Recorders:
-    """Merge the leading replicate axis of a batched recorder pytree.
+    """Merge the leading replicate axis of a batched recorder pytree (already
+    resolved to f64 values on host).
 
     All accumulators are additive except the streaming logsumexps, which merge
     with logaddexp (reference ``recorders/LogSum.jl`` merge), and the round-trip
@@ -153,8 +176,27 @@ def merge_replicates(host: Recorders) -> Recorders:
     )
 
 
+_KAHAN_FIELDS = (
+    "accept_sum", "accept_n", "online_n", "online_sum", "online_sumsq",
+    "energy", "exp_accept_sum", "exp_accept_n", "exp_steps", "extra_sum",
+    "extra_n",
+)
+
+
 def reduce_recorders(rec: Recorders, n_replicates: int = 1) -> ReducedRecorders:
-    host = jax.tree.map(lambda a: np.asarray(a, dtype=np.float64), rec)
+    from .parallel.sharding import to_host
+
+    host = jax.tree.map(lambda a: np.asarray(to_host(a), dtype=np.float64), rec)
+    # resolve compensated stacks to f64 values: true sum = sum - compensation
+    # (the [2, ...] stack axis sits after the replicate axis when batched)
+    k_axis = 1 if n_replicates > 1 else 0
+    host = host._replace(
+        **{
+            f: np.take(getattr(host, f), 0, axis=k_axis)
+            - np.take(getattr(host, f), 1, axis=k_axis)
+            for f in _KAHAN_FIELDS
+        }
+    )
     if n_replicates > 1:
         host = merge_replicates(host)
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -58,9 +58,13 @@ class ChildProcess:
         with open(inputs_path, "wb") as f:
             pickle.dump(inputs, f)
         script_path = os.path.join(exec_folder, ".launch_script.py")
-        # default to the parent's platform so parent and child compute
-        # identical bits (cross-process parallelism invariance)
-        platform = self.env.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORMS")
+        # default to the parent's ACTIVE platform so parent and child compute
+        # identical bits (cross-process parallelism invariance). The active
+        # jax.config value outranks the env var: site customizations may set
+        # JAX_PLATFORMS in the environment while the parent overrode it via
+        # config (e.g. a CPU test suite on a TPU host must not hand its
+        # serial-check children the TPU).
+        platform = self.env.get("JAX_PLATFORMS")
         if not platform:
             try:
                 import jax
@@ -68,6 +72,8 @@ class ChildProcess:
                 platform = jax.config.jax_platforms
             except Exception:
                 platform = None
+        if not platform:
+            platform = os.environ.get("JAX_PLATFORMS")
         with open(script_path, "w") as f:
             f.write(
                 _LAUNCH_SCRIPT.format(

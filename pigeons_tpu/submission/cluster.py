@@ -36,6 +36,7 @@ _ROSETTA = {
         "submit": ["sbatch"],
         "del": ["scancel"],
         "queue_status": ["squeue", "-u"],
+        "ncpu_info": ["sinfo", "-o", "%C"],
     },
     "pbs": {
         "directive": "#PBS",
@@ -48,6 +49,7 @@ _ROSETTA = {
         "submit": ["qsub"],
         "del": ["qdel"],
         "queue_status": ["qstat", "-u"],
+        "ncpu_info": ["pbsnodes", "-aSj"],
     },
     "lsf": {
         "directive": "#BSUB",
@@ -60,6 +62,7 @@ _ROSETTA = {
         "submit": ["bsub"],
         "del": ["bkill"],
         "queue_status": ["bjobs", "-u"],
+        "ncpu_info": ["bhosts"],
     },
 }
 
@@ -92,6 +95,39 @@ def setup_mpi(**kwargs) -> MPISettings:
     settings = MPISettings(**kwargs)
     settings.save()
     return settings
+
+
+# -- cluster presets (reference src/submission/presets.jl:12-48) -------------
+
+
+def setup_compute_canada() -> MPISettings:
+    """Compute Canada / Alliance clusters (reference presets.jl:12-19)."""
+    return setup_mpi(
+        submission_system="slurm",
+        environment_modules=["python/3.12"],
+    )
+
+
+def setup_sockeye(allocation_code: str) -> MPISettings:
+    """UBC Sockeye (reference presets.jl:26-39)."""
+    return setup_mpi(
+        submission_system="slurm",
+        environment_modules=[],
+        add_to_submission=[
+            f"#SBATCH -A {allocation_code}",
+            "#SBATCH --nodes=1-10000",
+        ],
+    )
+
+
+def setup_tpu_pod(accelerator_type: str = "v5e-8") -> MPISettings:
+    """Cloud TPU pod slices: one process per host, JAX auto-detects the
+    coordinator from the TPU runtime (no scheduler directives needed beyond
+    the node count)."""
+    return setup_mpi(
+        submission_system="slurm",
+        add_to_submission=[f"#SBATCH --constraint={accelerator_type}"],
+    )
 
 
 @dataclass
@@ -167,6 +203,15 @@ def queue_status(settings: Optional[MPISettings] = None) -> str:
     ros = _ROSETTA[settings.submission_system]
     user = os.environ.get("USER", "")
     out = subprocess.run(ros["queue_status"] + [user], capture_output=True, text=True)
+    return out.stdout
+
+
+def queue_ncpus_free(settings: Optional[MPISettings] = None) -> str:
+    """Free-CPU summary from the scheduler (reference ``queue_ncpus_free``,
+    ``submission_utils.jl:37-41``)."""
+    settings = settings or MPISettings.load()
+    ros = _ROSETTA[settings.submission_system]
+    out = subprocess.run(ros["ncpu_info"], capture_output=True, text=True)
     return out.stdout
 
 

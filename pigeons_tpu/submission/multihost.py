@@ -49,7 +49,11 @@ class MultiHostLauncher:
                 num_processes=self.num_processes,
                 process_id=self.process_id,
             )
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:  # already initialized (e.g. by the caller)
+            if "already" not in str(e).lower():
+                raise
         inputs.mesh = replica_mesh(jax.devices())  # all devices, all hosts
         pt = PT(inputs)
         pt.run()

@@ -62,8 +62,16 @@ def swap_scan(
     replica_of: jax.Array,
     log_ratio: jax.Array,
     accept_fn: Callable = metropolis_accept_pr,
+    partner_map: jax.Array = None,
 ) -> SwapResult:
-    """One DEO communication step.
+    """One communication step over an arbitrary swap graph.
+
+    ``partner_map[c]`` is the chain that chain ``c`` interacts with this scan
+    (an involution; ``partner_map[c] == c`` means idle) — the TPU form of the
+    reference's ``swap_graph`` extension point (``src/swap/swap_graph.jl``:
+    ``partner_chain(graph, chain)``; canonical instance Odd/Even, extension
+    examples "parallel parallel tempering", multi-leg variational). Defaults
+    to the DEO graph of ``scan_idx``.
 
     ``log_ratio[r]`` is the replica-r swap statistic
     ``log pi_{partner}(x_r) - log pi_{own}(x_r)`` (the reference's
@@ -72,7 +80,8 @@ def swap_scan(
     are computed from replicated data.
     """
     n = chain_of.shape[0]
-    partner_map = deo_partner_map(n, scan_idx)
+    if partner_map is None:
+        partner_map = deo_partner_map(n, scan_idx)
 
     # per-chain views (gather by the chain -> replica permutation)
     ratio_by_chain = log_ratio[replica_of]
@@ -84,29 +93,30 @@ def swap_scan(
     )(jnp.arange(n))
     u_by_chain = u[replica_of]
 
-    # pairs indexed by their lower chain c in 0..N-2, padded to length
-    # max(N-1, 1) so recorder shapes stay valid for the N=1 edge case
+    # interacting pairs indexed by their LOWER chain c (every pair has a
+    # unique low end <= N-2), padded to length max(N-1, 1) so recorder
+    # shapes stay valid for the N=1 edge case
     c = jnp.arange(max(n - 1, 1))
-    pair_active = (c + 1 < n) & (partner_map[c] == jnp.minimum(c + 1, n - 1))
+    partner_c = partner_map[jnp.minimum(c, n - 1)]
+    pair_active = partner_c > c
     ratio_fwd = ratio_by_chain[c]  # stat of the replica at chain c
-    ratio_bwd = ratio_by_chain[jnp.minimum(c + 1, n - 1)]
+    ratio_bwd = ratio_by_chain[partner_c]
     stat_sum = ratio_fwd + ratio_bwd
     accept_pr = jnp.where(pair_active, accept_fn(stat_sum), 0.0)
     do_swap = pair_active & (u_by_chain[c] < accept_pr)
 
-    # chain-level displacement: +1 if this chain is the low end of a swapped
-    # pair, -1 if the high end, 0 otherwise
-    up = jnp.concatenate([do_swap, jnp.zeros((1,), bool)])
-    down = jnp.concatenate([jnp.zeros((1,), bool), do_swap])
-    # slice to n: the pair vector is padded to length 1 when n == 1
-    delta = jnp.where(up, 1, jnp.where(down, -1, 0)).astype(chain_of.dtype)[:n]
+    # chain-level destination permutation: a chain in a swapped pair moves to
+    # its partner's slot; the involution is its own inverse, so one gather
+    # maintains chain_of and one maintains replica_of (TPU scatters serialize)
+    cidx = jnp.arange(n, dtype=chain_of.dtype)
+    low = jnp.minimum(cidx, partner_map.astype(chain_of.dtype))
+    swapped_chain = do_swap[jnp.minimum(low, max(n - 2, 0))] & (
+        partner_map != cidx
+    )
+    dest = jnp.where(swapped_chain, partner_map.astype(chain_of.dtype), cidx)
 
-    new_chain_of = chain_of + delta[chain_of]
-    # inverse permutation maintained by gathers (TPU scatters serialize):
-    # chain c's new replica is the one that sat at chain c -+ 1 if that pair
-    # swapped, else its own
-    src_chain = jnp.arange(n, dtype=replica_of.dtype) + delta
-    new_replica_of = replica_of[src_chain]
+    new_chain_of = dest[chain_of]
+    new_replica_of = replica_of[dest]
     return SwapResult(
         chain_of=new_chain_of,
         replica_of=new_replica_of,

@@ -61,6 +61,24 @@ class GaussianReference:
             -0.5 * jnp.log(2.0 * jnp.pi * std * std) - 0.5 * ((x - mean) / std) ** 2
         )
 
+    # -- coordinate-wise decomposition (mean-field => additively separable) --
+    # lets the banded Pallas slice kernel run under a variational reference:
+    # the per-coordinate mean/std ride to the kernel as banded blocks
+    # (coord_param_arrays), never gathered by a traced index
+
+    @staticmethod
+    def coord_param_arrays(params):
+        """Per-coordinate parameter vectors consumed by ``coord_log_density``."""
+        return (params["mean"], params["std"])
+
+    @staticmethod
+    def coord_log_density(v, mean_c, std_c):
+        """Coordinate ``c``'s contribution, given its own mean/std."""
+        return (
+            -0.5 * jnp.log(2.0 * jnp.pi * std_c * std_c)
+            - 0.5 * ((v - mean_c) / std_c) ** 2
+        )
+
     @staticmethod
     def sample(key, params):
         mean, std = params["mean"], params["std"]

@@ -2,11 +2,13 @@
 (reference ``test/test_cumulative_barrier.jl``: |estimate - truth| < 0.01 on a
 beta grid after 15 rounds with the slice sampler)."""
 
+import pytest
 import numpy as np
 
 import pigeons_tpu as pg
 
 
+@pytest.mark.slow
 def test_cumulative_barrier_matches_analytic():
     # 4 pooled replicate ladders halve the MC error of the rejection profile
     # (reference test/test_cumulative_barrier.jl runs 15 rounds for |err|<0.01)

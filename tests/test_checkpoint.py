@@ -87,27 +87,84 @@ def test_pigeons_resume_entry(tmp_path):
     assert pt.round_idx == 3
 
 
-def test_checked_round_passes():
+def test_checked_round_requires_checkpoint():
+    # reference checks.jl:14-16: "activate checkpoint when performing checks"
+    with pytest.raises(ValueError, match="checkpoint"):
+        pigeons(
+            target=toy_mvn_target(2), n_chains=3, n_rounds=3, checked_round=2,
+            seed=1, show_report=False,
+        )
+
+
+@pytest.mark.slow
+def test_checked_round_passes(tmp_path):
+    """The product check spawns a fresh serial ChildProcess and compares the
+    checkpoint FILES structurally (reference checks.jl:36-78)."""
     pt = pigeons(
         target=toy_mvn_target(2), n_chains=3, n_rounds=3, checked_round=2,
-        seed=1, show_report=False,
+        seed=1, show_report=False, checkpoint=True,
+        checkpoint_folder=str(tmp_path / "run"),
     )
     assert pt.round_idx == 3
 
 
-def test_checked_round_on_mesh():
+@pytest.mark.slow
+def test_checked_round_on_mesh(tmp_path):
     mesh = replica_mesh(jax.devices()[:2])
     pt = pigeons(
         target=toy_mvn_target(2), n_chains=4, n_rounds=3, checked_round=2,
-        seed=1, mesh=mesh, show_report=False,
+        seed=1, mesh=mesh, show_report=False, checkpoint=True,
+        checkpoint_folder=str(tmp_path / "run"),
     )
     assert pt.round_idx == 3
 
 
-def test_check_against_serial_detects_mutation():
-    """Negative control (reference test_parallelism_invariance.jl:76-88)."""
-    pt = pigeons(target=toy_mvn_target(2), n_chains=3, n_rounds=2, seed=1,
-                 show_report=False)
-    pt.states = pt.states.at[0, 0].add(1.0)
-    with pytest.raises(ParallelismInvarianceError):
+@pytest.mark.slow
+def test_check_against_serial_detects_corruption(tmp_path):
+    """Negative control (reference test_parallelism_invariance.jl:76-88):
+    corrupt one array in the written checkpoint; the file-level comparison
+    must flag it."""
+    pt = pigeons(
+        target=toy_mvn_target(2), n_chains=3, n_rounds=2, seed=1,
+        show_report=False, checkpoint=True,
+        checkpoint_folder=str(tmp_path / "run"),
+    )
+    from pigeons_tpu.checkpoint import round_folder
+
+    path = os.path.join(round_folder(pt.exec_folder, 2), "checkpoint.npz")
+    data = dict(np.load(path))
+    data["states"] = data["states"] + 1.0
+    np.savez(path, **data)
+    with pytest.raises(ParallelismInvarianceError, match="states"):
         check_against_serial(pt)
+
+
+@pytest.mark.slow
+def test_checked_round_catches_cross_process_nondeterminism(tmp_path, monkeypatch):
+    """A density depending on per-PROCESS state (a module constant derived
+    from the pid) reproduces in-process but NOT across processes; only the
+    ChildProcess-based check can see it (VERDICT r2 item 5)."""
+    import sys
+
+    tests_dir = os.path.dirname(__file__)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        tests_dir + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    sys.path.insert(0, tests_dir)
+    try:
+        from nondeterministic_target import pid_jitter_target
+
+        with pytest.raises(ParallelismInvarianceError):
+            pigeons(
+                target=pid_jitter_target(),
+                n_chains=2,
+                n_rounds=2,
+                checked_round=2,
+                seed=1,
+                show_report=False,
+                checkpoint=True,
+                checkpoint_folder=str(tmp_path / "run"),
+            )
+    finally:
+        sys.path.pop(0)

@@ -47,11 +47,20 @@ def test_mix_moments():
     assert np.abs(pt.var() - 0.1).max() < 0.06
 
 
-def test_mix_rejects_extras():
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        Mix(SliceSampler(), AutoMALA())
+def test_mix_supports_extras():
+    # components with extra recorders get fixed slots; the selected
+    # component's counts are masked by the selection, so AutoMALA's factor
+    # adaptation still sees its own per-chain means and moves its step size
+    am = AutoMALA()
+    pt = _run(Mix(SliceSampler(n_passes=1), am))
+    step = np.asarray(pt.exp_state[1]["step_size"])
+    assert not np.allclose(step, 1.0)
+    assert np.abs(pt.mean()).max() < 0.12
+    # the unselected component's slots stay empty on those scans: counts are
+    # bounded by the total scans and strictly positive overall
+    extra_n = pt.reduced.extra_n
+    assert extra_n.shape[1] == len(pt.explorer.extra_names)
+    assert (extra_n.sum(0) > 0).all()
 
 
 def test_mix_deterministic():

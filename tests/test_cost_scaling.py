@@ -8,6 +8,7 @@ Kept CI-sized: dims up to 32, slope asserted within a generous band around
 -4/3 (the reference uses d up to 2^7 and tolerance 0.15 on 1.33; at these
 sizes the Monte-Carlo noise needs a wider band)."""
 
+import pytest
 import numpy as np
 
 from pigeons_tpu import Inputs, PT, toy_mvn_target
@@ -35,6 +36,7 @@ def _ess_per_eval(dim: int, seed: int) -> float:
     return e / evals
 
 
+@pytest.mark.slow
 def test_automala_cost_scales_like_d_to_the_four_thirds():
     dims = np.array([2, 8, 32])
     vals = []

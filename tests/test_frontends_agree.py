@@ -11,6 +11,7 @@ Here the unid model (``examples/stan/unid.stan``) is expressed twice:
     written out manually.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +64,7 @@ def _run(target, seed):
     return pt
 
 
+@pytest.mark.slow
 def test_dsl_and_handwritten_unid_agree():
     logz = unid_analytic_log_z(N_TRIALS, N_SUCC)
     pt_dsl = _run(unid_target(N_TRIALS, N_SUCC), seed=1)

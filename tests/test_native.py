@@ -40,6 +40,7 @@ def test_default_explorer_is_gradient_based(lib_path):
     assert isinstance(NativeTarget(lib_path).default_explorer(), AutoMALA)
 
 
+@pytest.mark.slow
 def test_run_moments(lib_path):
     t = NativeTarget(lib_path)
     pt = pg.pigeons(

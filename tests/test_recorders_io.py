@@ -48,3 +48,71 @@ def test_plots(tmp_path):
     assert plot_index_process(pt) is not None
     assert plot_local_barrier(pt) is not None
     assert plot_cumulative_barrier(pt) is not None
+
+
+def test_kahan_accumulator_exact_counts():
+    """Past 2^24, plain f32 addition silently drops +1 increments; the
+    compensated accumulator must keep exact integer counts (the reference
+    gets this from Float64 OnlineStats, recorder.jl:93-102)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigeons_tpu.recorders import kadd, kinit
+
+    n_start = 16_777_216  # 2^24: f32 integer cliff
+    acc = jnp.stack([jnp.float32(n_start), jnp.float32(0.0)])
+
+    def body(_, a):
+        return kadd(a, jnp.float32(1.0))
+
+    steps = 4096
+    acc = jax.lax.fori_loop(0, steps, body, acc)
+    total = float(np.float64(acc[0]) - np.float64(acc[1]))
+    assert total == n_start + steps  # plain f32 would still be 2^24
+    plain = jnp.float32(n_start)
+    for _ in range(4):
+        plain = plain + jnp.float32(1.0)
+    assert float(plain) == n_start  # demonstrates the cliff being fixed
+
+
+def test_kahan_accumulator_tracks_f64():
+    """Sum of 10^5 O(1) values: compensated f32 must stay within ~1e-5
+    relative of the f64 truth (plain f32 drifts ~1e-2 at this length)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigeons_tpu.recorders import kadd
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(loc=1.0, size=100_000).astype(np.float32)
+
+    acc = jnp.stack([jnp.float32(0.0), jnp.float32(0.0)])
+    acc = jax.lax.fori_loop(
+        0, len(vals), lambda i, a: kadd(a, jnp.asarray(vals)[i]), acc
+    )
+    got = float(np.float64(acc[0]) - np.float64(acc[1]))
+    truth = float(np.sum(vals.astype(np.float64)))
+    assert abs(got - truth) / abs(truth) < 1e-5
+
+
+def test_profiler_hook_writes_trace(tmp_path):
+    """Inputs.profile_round captures a JAX profiler trace per round under the
+    exec folder (SURVEY §5 tracing subsystem)."""
+    import os
+
+    import pigeons_tpu as pg
+
+    pt = pg.pigeons(
+        target=pg.toy_mvn_target(2),
+        n_chains=2,
+        n_rounds=2,
+        seed=1,
+        show_report=False,
+        checkpoint=True,
+        checkpoint_folder=str(tmp_path / "run"),
+        profile_round=2,
+    )
+    prof = os.path.join(pt.exec_folder, "profile", "round=2")
+    assert os.path.isdir(prof) and any(os.scandir(prof))

@@ -117,15 +117,17 @@ def test_pallas_explorer_end_to_end_interpret():
     assert pt.sample_array().shape[1] == 3
 
 
-def test_pallas_falls_back_under_variational():
-    # a variational reference carries ref_params the kernel does not take;
-    # the runtime must silently use the vmapped XLA path (subclass step)
+@pytest.mark.slow
+def test_pallas_variational_banded():
+    # the variational Gaussian reference is mean-field (separable), so the
+    # banded kernel runs under it: mean/std ride as banded coord blocks and
+    # the run stays on the fast path through reference activation (round 6)
     pt = PT(
         Inputs(
-            target=toy_mvn_target(2),
+            target=toy_mvn_target(3),
             n_chains=3,
             n_chains_variational=3,
-            n_rounds=3,
+            n_rounds=7,
             seed=5,
             explorer=SliceSamplerPallas(interpret=True, n_passes=1),
             show_report=False,
@@ -133,3 +135,36 @@ def test_pallas_falls_back_under_variational():
     )
     pt.run()
     assert np.isfinite(pt.global_barrier_variational)
+    # after the Gaussian reference activates on a Gaussian target, the
+    # variational leg's barrier collapses (reference test_variational.jl:96-100)
+    assert pt.global_barrier_variational < 0.5
+    assert np.abs(pt.mean()).max() < 0.15
+
+
+@pytest.mark.slow
+def test_pallas_coord_arrays_vs_xla_moments():
+    # banded kernel fed per-coordinate params must sample the same law as
+    # the XLA slice sampler (distinct RNG streams: compare moments)
+    import jax.numpy as jnp
+    from pigeons_tpu.variational import GaussianReference
+
+    def run(explorer):
+        pt = PT(
+            Inputs(
+                target=toy_mvn_target(2),
+                n_chains=0,
+                n_chains_variational=4,
+                n_rounds=8,
+                seed=2,
+                n_replicates=8,
+                explorer=explorer,
+                show_report=False,
+            )
+        )
+        pt.run()
+        return pt
+
+    a = run(SliceSamplerPallas(interpret=True, n_passes=1))
+    b = run(SliceSampler(n_passes=1))
+    np.testing.assert_allclose(a.mean(), b.mean(), atol=0.08)
+    np.testing.assert_allclose(a.var(), b.var(), atol=0.08)

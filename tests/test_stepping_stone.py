@@ -8,6 +8,7 @@ import pytest
 import pigeons_tpu as pg
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("explorer_name", ["toy", "slice"])
 def test_stepping_stone_one_leg(explorer_name):
     explorer = pg.SliceSampler() if explorer_name == "slice" else None

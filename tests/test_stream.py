@@ -44,6 +44,7 @@ def test_worker_protocol_roundtrip():
         w.close()
 
 
+@pytest.mark.slow
 def test_stream_target_run():
     target = StreamTarget(demo_command(dim=2))
     try:

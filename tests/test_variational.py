@@ -1,6 +1,7 @@
 """Stabilized variational PT tests (reference test/test_variational.jl,
 test/test_two_legs.jl)."""
 
+import pytest
 import numpy as np
 
 from pigeons_tpu import (
@@ -13,6 +14,7 @@ from pigeons_tpu import (
 )
 
 
+@pytest.mark.slow
 def test_two_leg_restart_gain():
     """2-leg PT restarts ~2x the single-leg count with a constant swapper
     (reference test_variational.jl:43-53: TestSwapper(0.5), 5+5 chains)."""
