@@ -28,7 +28,12 @@ import numpy as np
 from jax import lax
 
 from .base import Explorer, StepOut
-from .hamiltonian import MixDiagonalPreconditioner, leapfrog, log_joint
+from .hamiltonian import (
+    MixDiagonalPreconditioner,
+    leapfrog1_cached,
+    log_joint,
+    value_and_cond_grad,
+)
 
 
 class AutoMALA(Explorer):
@@ -75,39 +80,55 @@ class AutoMALA(Explorer):
 
     # -- step-size search --------------------------------------------------
 
-    def _auto_step_size(self, lp_fn, precond, x, v, lp, base_step, lower, upper):
-        """Returns (exponent, n_leapfrogs). The log-joint difference of a
-        single leapfrog from (x, v) with step eps, as a function of eps."""
+    def _auto_step_size(self, lp_fn, precond, x, v, lp, cgrad, base_step,
+                        lower, upper):
+        """Bounded grow/shrink search for the step-size exponent.
+
+        ``cgrad`` is the conditioned gradient at ``x`` — computed ONCE per
+        refresh, so each trial step costs a single gradient evaluation (at
+        its proposal) instead of two. Returns
+        ``(exponent, n_leapfrogs, candidate)`` where ``candidate`` is the
+        leapfrog result AT THE SELECTED step size
+        (``x', v', lp', cgrad', ok``): the caller's move reuses it instead of
+        integrating again (grow selects one less than the last trial, so the
+        candidate is the previous iterate; shrink selects the last)."""
         h_before = log_joint(lp, v)
 
-        def ljd(eps):
-            _, v_n, lp_n, ok = leapfrog(lp_fn, precond, x, v, eps)
-            return jnp.where(ok, log_joint(lp_n, v_n) - h_before, jnp.nan)
+        def try_step(eps):
+            x_n, v_n, lp_n, g_n, ok = leapfrog1_cached(
+                lp_fn, precond, x, v, eps, cgrad
+            )
+            diff = jnp.where(ok, log_joint(lp_n, v_n) - h_before, jnp.nan)
+            return diff, (x_n, v_n, lp_n, g_n, ok)
 
-        diff0 = ljd(base_step)
+        diff0, cand0 = try_step(base_step)
         shrink = ~jnp.isfinite(diff0) | (diff0 < lower)
         grow = jnp.isfinite(diff0) & (diff0 > upper)
         direction = jnp.where(grow, 1, jnp.where(shrink, -1, 0))
 
         def cond(carry):
-            n, step, done = carry
+            n, step, done, prev, cur = carry
             return ~done & (n < self.max_exponent)
 
         def body(carry):
-            n, step, done = carry
+            n, step, done, prev, cur = carry
             n = n + 1
             step = jnp.where(direction > 0, step * 2.0, step * 0.5)
-            diff = ljd(step)
+            diff, cand = try_step(step)
             done_grow = (direction > 0) & (~jnp.isfinite(diff) | (diff < upper))
             done_shrink = (direction < 0) & jnp.isfinite(diff) & (diff > lower)
-            return n, step, done_grow | done_shrink
+            return n, step, done_grow | done_shrink, cur, cand
 
-        n, _, _ = lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), base_step, direction == 0)
+        n, _, _, prev, cur = lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), base_step, direction == 0, cand0, cand0),
         )
         # grow returns n-1 (one less, avoiding the acceptance cliff); shrink -n
         exponent = jnp.where(direction > 0, n - 1, jnp.where(direction < 0, -n, 0))
-        return exponent, (1 + n).astype(jnp.float32)
+        selected = jax.tree.map(
+            lambda a, b: jnp.where(direction > 0, a, b), prev, cur
+        )
+        return exponent, (1 + n).astype(jnp.float32), selected
 
     # -- full step ---------------------------------------------------------
 
@@ -119,10 +140,11 @@ class AutoMALA(Explorer):
         use_mh = jnp.asarray(scan_idx != 1)
 
         def refresh(i, carry):
-            x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n = carry
+            x, lp, raw_grad, a_s, a_n, ns, f_s, f_n, r_s, r_n = carry
             k = jax.random.fold_in(key, i)
             k_mom, k_prec, k_a, k_b, k_mh = jax.random.split(k, 5)
             precond = self.preconditioner.build(k_prec, std_devs)
+            cgrad = raw_grad / precond  # start-point gradient: carried, free
             v = jax.random.normal(k_mom, x.shape, x.dtype)
             h0 = log_joint(lp, v)
             a = jax.random.uniform(k_a)
@@ -130,20 +152,22 @@ class AutoMALA(Explorer):
             lower = jnp.log(jnp.minimum(a, b))
             upper = jnp.log(jnp.maximum(a, b))
 
-            exp_fwd, n_fwd = self._auto_step_size(
-                lp_fn, precond, x, v, lp, base_step, lower, upper
+            exp_fwd, n_fwd, cand = self._auto_step_size(
+                lp_fn, precond, x, v, lp, cgrad, base_step, lower, upper
             )
-            step = base_step * 2.0**exp_fwd.astype(x.dtype)
-            x_new, v_new, lp_new, ok = leapfrog(lp_fn, precond, x, v, step)
+            # the move IS the search's selected candidate — no extra leapfrog
+            x_new, v_new, lp_new, cgrad_new, ok = cand
             f_s = f_s + 2.0**exp_fwd.astype(jnp.float32)
             f_n = f_n + 1.0
-            ns = ns + n_fwd + 1.0
+            ns = ns + n_fwd
 
-            # reversibility check from the proposal with flipped momentum
-            # (the reference runs it only when MH is active; mask its stats so
-            # the adaptation sees the same factor stream)
-            exp_rev, n_rev = self._auto_step_size(
-                lp_fn, precond, x_new, -v_new, lp_new, base_step, lower, upper
+            # reversibility check from the proposal with flipped momentum,
+            # seeded by the candidate's own end-point gradient (free).
+            # (The reference runs it only when MH is active; mask its stats so
+            # the adaptation sees the same factor stream.)
+            exp_rev, n_rev, _ = self._auto_step_size(
+                lp_fn, precond, x_new, -v_new, lp_new, cgrad_new, base_step,
+                lower, upper
             )
             reversible = (exp_rev == exp_fwd) & ok
             f_s = f_s + jnp.where(use_mh, 2.0**exp_rev.astype(jnp.float32), 0.0)
@@ -155,15 +179,21 @@ class AutoMALA(Explorer):
             accept = use_mh & (jax.random.uniform(k_mh) < pr) | (~use_mh & ok)
             x = jnp.where(accept, x_new, x)
             lp = jnp.where(accept, lp_new, lp)
+            # carry the RAW gradient of the new state (divided by the NEXT
+            # refresh's preconditioner there); candidate gradients are
+            # conditioned, so un-condition on accept
+            raw_grad = jnp.where(accept, cgrad_new * precond, raw_grad)
             a_s = a_s + jnp.where(use_mh, pr, 0.0)
             a_n = a_n + jnp.where(use_mh, 1.0, 0.0)
             r_s = r_s + jnp.where(use_mh, reversible.astype(jnp.float32), 0.0)
             r_n = r_n + jnp.where(use_mh, 1.0, 0.0)
-            return x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n
+            return x, lp, raw_grad, a_s, a_n, ns, f_s, f_n, r_s, r_n
 
         z = jnp.zeros((), jnp.float32)
-        x, lp, a_s, a_n, ns, f_s, f_n, r_s, r_n = lax.fori_loop(
-            0, n_refresh, refresh, (x, lp0, z, z, z, z, z, z, z)
+        lp_start, cgrad0 = value_and_cond_grad(lp_fn, x, jnp.ones_like(x))
+        del lp_start  # lp0 is the carried density; one gradient seeds the scan
+        x, lp, _, a_s, a_n, ns, f_s, f_n, r_s, r_n = lax.fori_loop(
+            0, n_refresh, refresh, (x, lp0, cgrad0, z, z, z + 1.0, z, z, z, z)
         )
         return StepOut(
             x, lp, a_s, a_n, ns,

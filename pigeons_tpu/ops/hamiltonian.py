@@ -34,6 +34,24 @@ def value_and_cond_grad(lp_fn, x, diag_precond):
     return logp, grad / diag_precond
 
 
+def leapfrog1_cached(lp_fn, diag_precond, x, v, step_size, cgrad0):
+    """One leapfrog step with the starting-point conditioned gradient
+    ``cgrad0 = grad(log pi)(x) / diag_precond`` supplied by the caller.
+
+    Within AutoMALA's step-size search the start point is FIXED across every
+    trial step, so its gradient is computed once per refresh instead of once
+    per trial — halving the gradient-evaluation cost of the search (the
+    reference's ``leap_frog!`` recomputes it every call,
+    ``hamiltonian_dynamics.jl:39-77``). Returns
+    (x', v', logp', cgrad', finite)."""
+    v1 = v + 0.5 * step_size * cgrad0
+    x1 = x + step_size * (v1 / diag_precond)
+    logp1, cgrad1 = value_and_cond_grad(lp_fn, x1, diag_precond)
+    v2 = v1 + 0.5 * step_size * cgrad1
+    ok = jnp.isfinite(log_joint(logp1, v1)) & jnp.isfinite(jnp.sum(v2 * v2))
+    return x1, v2, logp1, cgrad1, ok
+
+
 def leapfrog(lp_fn, diag_precond, x, v, step_size, n_steps: int = 1):
     """n_steps of leapfrog with Neal's merged half-steps.
 

@@ -19,7 +19,12 @@ import numpy as np
 from jax import lax
 
 from .base import Explorer, StepOut
-from .hamiltonian import MixDiagonalPreconditioner, leapfrog, log_joint
+from .hamiltonian import (
+    MixDiagonalPreconditioner,
+    leapfrog1_cached,
+    log_joint,
+    value_and_cond_grad,
+)
 
 
 class MALA(Explorer):
@@ -64,22 +69,30 @@ class MALA(Explorer):
         std_devs = chain_params["std_devs"]
 
         def refresh(i, carry):
-            x, lp, a_s, a_n, ns = carry
+            # the start-point RAW gradient rides the carry: one gradient
+            # evaluation per refresh (at the proposal) instead of two
+            x, lp, raw_grad, a_s, a_n, ns = carry
             k = jax.random.fold_in(key, i)
             k_mom, k_prec, k_mh = jax.random.split(k, 3)
             precond = self.preconditioner.build(k_prec, std_devs)
             v = jax.random.normal(k_mom, x.shape, x.dtype)
             h0 = log_joint(lp, v)
-            x_new, v_new, lp_new, ok = leapfrog(lp_fn, precond, x, v, step_size)
+            x_new, v_new, lp_new, cgrad_new, ok = leapfrog1_cached(
+                lp_fn, precond, x, v, step_size, raw_grad / precond
+            )
             # flip momentum (involution); ||v||^2 unchanged by the flip
             h1 = log_joint(lp_new, v_new)
             pr = jnp.where(ok, jnp.minimum(1.0, jnp.exp(h1 - h0)), 0.0)
             accept = jax.random.uniform(k_mh) < pr
             x = jnp.where(accept, x_new, x)
             lp = jnp.where(accept, lp_new, lp)
+            raw_grad = jnp.where(accept, cgrad_new * precond, raw_grad)
             # n_steps counts leapfrogs, as the reference records (MALA.jl:96)
-            return x, lp, a_s + pr, a_n + 1.0, ns + 1.0
+            return x, lp, raw_grad, a_s + pr, a_n + 1.0, ns + 1.0
 
         z = jnp.zeros((), jnp.float32)
-        x, lp, a_s, a_n, ns = lax.fori_loop(0, n_refresh, refresh, (x, lp0, z, z, z))
+        _, cgrad0 = value_and_cond_grad(lp_fn, x, jnp.ones_like(x))
+        x, lp, _, a_s, a_n, ns = lax.fori_loop(
+            0, n_refresh, refresh, (x, lp0, cgrad0, z, z, z)
+        )
         return StepOut(x, lp, a_s, a_n, ns)
