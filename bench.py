@@ -181,7 +181,7 @@ def _automala_run():
     from pigeons_tpu.models import logistic_regression
 
     target = logistic_regression(200, 10, seed=0)
-    n_chains, n_reps = 10, 256
+    n_chains, n_reps = 10, 1024  # throughput saturates at ~512 ladders/chip
     pt = PT(
         Inputs(
             target=target,

@@ -16,6 +16,14 @@ TPU-native notes: the grow/shrink search is one unified bounded
 lockstep with masking. The search is capped at ``max_exponent`` halvings/
 doublings (the reference errors on float underflow instead;
 ``AutoMALA.jl:236-239``).
+
+Measured alternative (r3): a speculative sweep evaluating the leapfrog at
+every exponent in a window as one batched trial (to collapse the sequential
+trip chain) ran ~2x SLOWER on the TPU at any window width — the masked
+sequential loop's body fuses into one tiny kernel and per-lane trip counts
+concentrate near zero after adaptation, so the search is throughput-bound on
+the target's gradient (for the logistic-regression bench, VPU transcendental
+throughput), not on sequential depth. Keep the sequential structure.
 """
 
 from __future__ import annotations

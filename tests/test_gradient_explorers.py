@@ -137,6 +137,7 @@ def test_identity_preconditioner_no_adaptation():
     np.testing.assert_array_equal(np.asarray(pt.exp_state["std_devs"]), 1.0)
 
 
+@pytest.mark.slow
 def test_nuts_moments_and_adaptation():
     # NUTS (not in the reference; BASELINE north star) must recover the toy
     # posterior, adapt its step size toward the 0.8 acceptance target, and

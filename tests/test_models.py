@@ -28,6 +28,7 @@ def run(target, rounds=8, chains=6, explorer=None, seed=1):
     )
 
 
+@pytest.mark.slow
 def test_bernoulli_log_z_oracle():
     """Beta-binomial marginal: Z = B(1+s, 1+f) / B(1,1), s=2, f=8."""
     pt = run(bernoulli_target(), rounds=9)
@@ -37,6 +38,7 @@ def test_bernoulli_log_z_oracle():
     assert abs(pt.reports[-1].log_z_estimate - expected) < 0.15
 
 
+@pytest.mark.slow
 def test_unid_log_z_oracle():
     """Reference test_stepping_stone.jl: unid logZ within rtol 0.05."""
     try:
@@ -62,6 +64,7 @@ def test_eight_schools_posterior():
     assert 1.0 < tau < 8.0
 
 
+@pytest.mark.slow
 def test_centered_noncentered_agree():
     """Same posterior through two parameterizations (analogue of the
     reference's test_turing_stan_agree.jl: one model, two frontends)."""
@@ -72,6 +75,7 @@ def test_centered_noncentered_agree():
     assert abs(mu_a - mu_b) < 2.0
 
 
+@pytest.mark.slow
 def test_logistic_regression_recovers_signal():
     t = logistic_regression(n=150, d=4, seed=0)
     pt = run(t, rounds=8, explorer=AutoMALA())
