@@ -44,7 +44,11 @@ N_REPLICATES = 1024  # independent ladders vmapped on-chip (BASELINE north star)
 
 RT_CHAINS = 16  # ≈ 2Λ + 2 for Λ ≈ 7.2 (reference provisioning rule)
 RT_SCANS = 1024  # steady-state round long enough for full round trips
-RT_REPLICATES = 256
+RT_REPLICATES = 256  # rate saturates here (measured r3); more ladders ≈ flat
+
+VAR_CHAINS = 10  # per leg (10 fixed + 10 variational)
+VAR_SCANS = 1024
+VAR_REPLICATES = 256
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +184,37 @@ def _round_trip_run():
     return rate, trips, restarts, report, pt
 
 
+def _variational_run():
+    """BASELINE config 4: stabilized two-leg variational PT (Gaussian
+    variational reference fit jointly with tempering). North-star rate for
+    this config is tempered restarts/hour in the post-fit steady state —
+    restarts are what the two-leg design buys (Surjanovic et al. 2022; the
+    reference doubles the restart rate at equal chains,
+    test_variational.jl:43-53)."""
+    from pigeons_tpu import Inputs, PT, SliceSamplerPallas, toy_mvn_target
+
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(DIM),
+            n_chains=VAR_CHAINS,
+            n_chains_variational=VAR_CHAINS,
+            n_rounds=6,
+            n_replicates=VAR_REPLICATES,
+            seed=1,
+            explorer=SliceSamplerPallas(),
+            show_report=False,
+        )
+    )
+    while pt.round_idx < 6:
+        pt.run_round(n_scans=8)
+    pt.run_round(n_scans=VAR_SCANS)
+    reduced = pt.run_round(n_scans=VAR_SCANS)
+    report = pt.reports[-1]
+    restarts = reduced.n_tempered_restarts
+    rate = restarts * 3600.0 / report.wall_time_s
+    return rate, restarts, report, pt
+
+
 def _mesh_run():
     """Config 1 under a device mesh (shard_map + Pallas fast path): with one
     real chip the mesh is 1-wide, so this measures the cost of the sharded
@@ -248,6 +283,7 @@ def main() -> None:
     value, report, pt = _tpu_run()
     rt_rate, trips, restarts, rt_report, rt_pt = _round_trip_run()
     am_value, am_report = _automala_run()
+    var_rate, var_restarts, var_report, var_pt = _variational_run()
     mesh_value, mesh_report = _mesh_run()
     print(
         json.dumps(
@@ -258,6 +294,7 @@ def main() -> None:
                 "vs_baseline": round(value / baseline, 3),
                 "round_trips_per_hour": round(rt_rate, 1),
                 "automala_logreg_evals_per_sec": round(am_value, 1),
+                "variational_restarts_per_hour": round(var_rate, 1),
                 "mesh_evals_per_sec_per_chip": round(mesh_value, 1),
             }
         )
@@ -273,6 +310,11 @@ def main() -> None:
         f"{rt_pt.global_barrier:.2f}\n"
         f"# automala logreg: {am_report.n_scans} scans in "
         f"{am_report.wall_time_s:.2f}s (evals = leapfrog gradient queries)\n"
+        f"# variational two-leg: {VAR_CHAINS}+{VAR_CHAINS} chains x "
+        f"{VAR_REPLICATES} ladders, {var_report.n_scans}-scan round in "
+        f"{var_report.wall_time_s:.2f}s -> {var_restarts} restarts, "
+        f"var barrier {var_pt.global_barrier_variational:.3f} "
+        f"(fixed {var_pt.global_barrier:.2f})\n"
         f"# mesh: config 1 under shard_map on a 1-chip replica mesh, "
         f"{mesh_report.n_scans} scans in {mesh_report.wall_time_s:.2f}s\n"
         f"# eval semantics: algorithmic density queries per the reference's "
