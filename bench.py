@@ -40,7 +40,9 @@ DIM = 100
 N_CHAINS = 10
 N_ROUNDS = 4  # adaptation warmup rounds before the timed fixed-length round
 MEASURE_SCANS = 32  # timed round length
-N_REPLICATES = 1024  # independent ladders vmapped on-chip (BASELINE north star)
+N_REPLICATES = 2048  # independent ladders vmapped on-chip (BASELINE north
+# star); measured optimum — 1024 is ~5% slower, 4096 ~18% slower (VMEM/HBM
+# pressure on the banded kernel's state batch)
 
 RT_CHAINS = 16  # ≈ 2Λ + 2 for Λ ≈ 7.2 (reference provisioning rule)
 RT_SCANS = 1024  # steady-state round long enough for full round trips
