@@ -123,6 +123,31 @@ def _serial_baseline_evals_per_sec(budget_s: float = 3.0) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _eval_rate(reduced, report, n_chains, n_reps):
+    """Algorithmic density queries per second for one timed round: explorer
+    queries (exp_steps, pooled over replicates) plus the runtime's own fused
+    per-scan evals (lp_before + swap partner, 2N per scan per ladder)."""
+    explorer_evals = float(np.sum(reduced.exp_steps))
+    runtime_evals = 2.0 * n_chains * report.n_scans * n_reps
+    return (explorer_evals + runtime_evals) / report.wall_time_s
+
+
+def _best_of(pt, n_scans, rate_fn, n_timed=3):
+    """One compile-absorbing round, then best-of-``n_timed`` timed rounds
+    (rounds are ~0.2-4 s; single-shot timing carries ~10% host jitter, and
+    best-of-N is applied to EVERY config so cross-config comparisons are
+    apples-to-apples — ADVICE r3)."""
+    pt.run_round(n_scans=n_scans)
+    best = None
+    for _ in range(n_timed):
+        reduced = pt.run_round(n_scans=n_scans)
+        report = pt.reports[-1]
+        rate = rate_fn(reduced, report)
+        if best is None or rate > best[0]:
+            best = (rate, reduced, report)
+    return best
+
+
 def _tpu_run():
     """Config 1 headline: evals/s/chip on the 10-chain d=100 MVN."""
     from pigeons_tpu import Inputs, PT, SliceSamplerPallas, toy_mvn_target
@@ -139,25 +164,13 @@ def _tpu_run():
         )
     )
     # adaptation warmup at one fixed scan count (a single compile), then the
-    # timed round — first MEASURE_SCANS round absorbs the compile, then
-    # best-of-3 timed rounds (the round is ~0.25 s, so single-shot timing
-    # carries ~10% host-side jitter)
+    # timed rounds
     while pt.round_idx < N_ROUNDS:
         pt.run_round(n_scans=4)
-    pt.run_round(n_scans=MEASURE_SCANS)
-    best_rate, best_report = -1.0, None
-    for _ in range(3):
-        reduced = pt.run_round(n_scans=MEASURE_SCANS)
-        report = pt.reports[-1]
-        # exp_steps counts log-density evals inside the explorer (pooled
-        # across replicates); add the per-scan path evals done by the runtime
-        # itself (lp_before + swap partner, 2N per scan per ladder)
-        explorer_evals = float(np.sum(reduced.exp_steps))
-        runtime_evals = 2.0 * N_CHAINS * report.n_scans * N_REPLICATES
-        rate = (explorer_evals + runtime_evals) / report.wall_time_s
-        if rate > best_rate:
-            best_rate, best_report = rate, report
-    return best_rate, best_report, pt
+    rate, _, report = _best_of(
+        pt, MEASURE_SCANS, lambda r, rep: _eval_rate(r, rep, N_CHAINS, N_REPLICATES)
+    )
+    return rate, report, pt
 
 
 def _round_trip_run():
@@ -177,12 +190,12 @@ def _round_trip_run():
     )
     while pt.round_idx < 6:
         pt.run_round(n_scans=8)  # schedule adaptation (pooled across ladders)
-    pt.run_round(n_scans=RT_SCANS)
-    reduced = pt.run_round(n_scans=RT_SCANS)
-    report = pt.reports[-1]
+    rate, reduced, report = _best_of(
+        pt, RT_SCANS, lambda r, rep: r.n_round_trips * 3600.0 / rep.wall_time_s,
+        n_timed=2,
+    )
     trips = reduced.n_round_trips  # pooled over RT_REPLICATES ladders
     restarts = reduced.n_tempered_restarts
-    rate = trips * 3600.0 / report.wall_time_s
     return rate, trips, restarts, report, pt
 
 
@@ -209,11 +222,12 @@ def _variational_run():
     )
     while pt.round_idx < 6:
         pt.run_round(n_scans=8)
-    pt.run_round(n_scans=VAR_SCANS)
-    reduced = pt.run_round(n_scans=VAR_SCANS)
-    report = pt.reports[-1]
+    rate, reduced, report = _best_of(
+        pt, VAR_SCANS,
+        lambda r, rep: r.n_tempered_restarts * 3600.0 / rep.wall_time_s,
+        n_timed=2,
+    )
     restarts = reduced.n_tempered_restarts
-    rate = restarts * 3600.0 / report.wall_time_s
     return rate, restarts, report, pt
 
 
@@ -243,12 +257,10 @@ def _mesh_run():
     )
     while pt.round_idx < N_ROUNDS:
         pt.run_round(n_scans=4)
-    pt.run_round(n_scans=MEASURE_SCANS)
-    reduced = pt.run_round(n_scans=MEASURE_SCANS)
-    report = pt.reports[-1]
-    explorer_evals = float(np.sum(reduced.exp_steps))
-    runtime_evals = 2.0 * N_CHAINS * report.n_scans * N_REPLICATES
-    return (explorer_evals + runtime_evals) / report.wall_time_s, report
+    rate, _, report = _best_of(
+        pt, MEASURE_SCANS, lambda r, rep: _eval_rate(r, rep, N_CHAINS, N_REPLICATES)
+    )
+    return rate, report
 
 
 def _automala_run():
@@ -272,12 +284,10 @@ def _automala_run():
     )
     while pt.round_idx < 4:
         pt.run_round(n_scans=4)
-    pt.run_round(n_scans=MEASURE_SCANS)
-    reduced = pt.run_round(n_scans=MEASURE_SCANS)
-    report = pt.reports[-1]
-    explorer_evals = float(np.sum(reduced.exp_steps))
-    runtime_evals = 2.0 * n_chains * report.n_scans * n_reps
-    return (explorer_evals + runtime_evals) / report.wall_time_s, report
+    rate, _, report = _best_of(
+        pt, MEASURE_SCANS, lambda r, rep: _eval_rate(r, rep, n_chains, n_reps)
+    )
+    return rate, report
 
 
 def main() -> None:

@@ -40,7 +40,12 @@ resumed.run()
 print("extended to round", resumed.round_idx,
       "mean[:3]:", resumed.mean()[:3])
 
-# resuming without extending reproduces the original run bitwise
-again = load_pt(folder, round_idx=6)
+# true resume determinism: load the ROUND-4 checkpoint, recompute rounds 5-6
+# from it, and require bitwise agreement with the uninterrupted run — the
+# resumed process re-derives every RNG stream from (seed, round, scan,
+# replica), so recomputation matches, not just deserialization
+again = load_pt(folder, round_idx=4)
+while again.round_idx < 6:
+    again.run_round()
 assert np.array_equal(pt.sample_array(), again.sample_array())
-print("bitwise resume: OK")
+print("bitwise recompute-from-round-4 resume: OK")

@@ -34,6 +34,8 @@ def stepping_stone_pair_from_reduced(reduced, pair_mask=None) -> tuple[float, fl
 
 
 def stepping_stone_from_reduced(reduced, pair_mask=None) -> float:
+    if not (np.any(reduced.lsr_fwd_n > 0) or np.any(reduced.lsr_bwd_n > 0)):
+        return float("nan")  # log_sum_ratio recorder disabled (Inputs.record)
     e1, e2 = stepping_stone_pair_from_reduced(reduced, pair_mask)
     if not np.isfinite(e1):
         return e2

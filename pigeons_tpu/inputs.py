@@ -47,6 +47,14 @@ class Inputs:
     # per-round @timed instrumentation (recorders/recorder.jl:118-142).
     # 0 disables. Requires checkpoint=True or an explicit checkpoint_folder.
     profile_round: int = 0
+    # State/density compute dtype. None selects float32 (the TPU-native
+    # default; recorders compensate accumulation back to ~f64 accuracy).
+    # Pass jnp.float64 (or "float64") for ill-conditioned targets whose
+    # density saturates in f32 — the reference computes in Float64 throughout
+    # (src/pt/state.jl); requires JAX x64 mode (JAX_ENABLE_X64=1 or
+    # jax.config.update("jax_enable_x64", True)) and runs on CPU or with
+    # XLA explorers (the Pallas fast path is f32-only).
+    dtype: Optional[Any] = None
     # Custom swap graph: traced ``(n_chains, scan_idx) -> int32[N]`` partner
     # map (an involution; partner[c] == c means chain c idles this scan).
     # None selects the non-reversible DEO graph. The TPU form of the

@@ -45,6 +45,9 @@ class AAPS(Explorer):
     def init_state(self, n_chains: int, dim: int):
         return {"std_devs": jnp.ones((n_chains, dim), jnp.float32)}
 
+    def needs_online_moments(self) -> bool:
+        return self.preconditioner.adapts
+
     def adapt(self, state, reduced, round_idx: int):
         if not self.preconditioner.adapts:
             return state

@@ -72,6 +72,9 @@ class AutoMALA(Explorer):
             "std_devs": jnp.ones((n_chains, dim), jnp.float32),
         }
 
+    def needs_online_moments(self) -> bool:
+        return self.preconditioner.adapts
+
     def adapt(self, state, reduced, round_idx: int):
         # step size *= mean over chains of the chain-mean selected factor
         # (reference AutoMALA.jl:73-75)

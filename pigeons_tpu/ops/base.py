@@ -58,6 +58,15 @@ class Explorer:
     def adapt(self, state, reduced, round_idx: int):
         return state
 
+    def needs_online_moments(self) -> bool:
+        """True when between-round adaptation reads ``reduced.online_var``
+        (preconditioner re-estimation). The runtime keeps the online-moment
+        recorder active for such explorers even when the user's
+        ``Inputs.record`` omits it — the analogue of the reference
+        auto-registering ``_transformed_online`` via
+        ``explorer_recorder_builders`` (``recorders/recorders.jl:63-70``)."""
+        return False
+
 
 class ToyExplorer(Explorer):
     """iid regeneration at every chain, for paths that are iid-sampleable at

@@ -38,6 +38,9 @@ class Compose(Explorer):
     def init_state(self, n_chains: int, dim: int):
         return tuple(e.init_state(n_chains, dim) for e in self.explorers)
 
+    def needs_online_moments(self) -> bool:
+        return any(e.needs_online_moments() for e in self.explorers)
+
     def adapt(self, state, reduced, round_idx: int):
         out = []
         for e, s, (off, k) in zip(self.explorers, state, self._extra_slices):
@@ -91,6 +94,9 @@ class Mix(Explorer):
 
     def init_state(self, n_chains: int, dim: int):
         return tuple(e.init_state(n_chains, dim) for e in self.explorers)
+
+    def needs_online_moments(self) -> bool:
+        return any(e.needs_online_moments() for e in self.explorers)
 
     def adapt(self, state, reduced, round_idx: int):
         out = []

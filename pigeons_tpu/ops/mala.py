@@ -51,6 +51,9 @@ class MALA(Explorer):
             "std_devs": jnp.ones((n_chains, dim), jnp.float32),
         }
 
+    def needs_online_moments(self) -> bool:
+        return self.preconditioner.adapts
+
     def adapt(self, state, reduced, round_idx: int):
         if not self.preconditioner.adapts:
             return state

@@ -68,6 +68,9 @@ class NUTS(Explorer):
             "std_devs": jnp.ones((n_chains, dim), jnp.float32),
         }
 
+    def needs_online_moments(self) -> bool:
+        return self.preconditioner.adapts
+
     def adapt(self, state, reduced, round_idx: int):
         acc_mean = reduced.extra_mean[:, 0]
         observed = np.isfinite(acc_mean)

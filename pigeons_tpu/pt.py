@@ -63,6 +63,14 @@ def _make_round_kernel(
     record_extended_traces: bool = False,  # per-scan extracts of ALL chains
     record_index_process: bool = False,
     record_swap_stats: bool = True,
+    # Inputs.record gating: disabled recorders cost ZERO in the compiled
+    # round (the accumulation code is never traced — the analogue of the
+    # reference's @record_if_requested! being a no-op when the recorder is
+    # absent, src/recorders/@record_if_requested!.jl:6-12)
+    record_energy: bool = True,
+    record_online: bool = True,
+    record_round_trip: bool = True,
+    record_traces: bool = True,
     use_iid_reference: bool = False,
     mesh=None,  # Optional[ReplicaMesh]: shard the replica axis when given
     n_replicates: int = 1,  # batch this many independent ladders
@@ -183,7 +191,7 @@ def _make_round_kernel(
         iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
             iid_keys, isvar_loc
         )
-        return jnp.where(is_ref_loc[:, None], iid, x_after)
+        return jnp.where(is_ref_loc[:, None], iid.astype(x_after.dtype), x_after)
 
     def post_one(
         x_after, lp_after, lp_partner, lp_before, stats, chain_of, replica_of,
@@ -206,27 +214,30 @@ def _make_round_kernel(
         # round totals are bitwise identical to the single-device run even
         # though chains migrate across devices (the analogue of the
         # reference's deterministic reductions, Entangler.jl:214-277).
-        energy_row = jnp.stack(
-            [
-                jnp.ones_like(lp_before),
-                lp_before,
-                lp_after,
-                lp_before**2,
-                lp_after**2,
-                lp_before * lp_after,
-            ],
-            axis=-1,
-        )
         n_extras = len(explorer.extra_names)
-        row_parts = [
-            energy_row,
+        row_parts = []
+        if record_energy:
+            row_parts.append(
+                jnp.stack(
+                    [
+                        jnp.ones_like(lp_before),
+                        lp_before,
+                        lp_after,
+                        lp_before**2,
+                        lp_after**2,
+                        lp_before * lp_after,
+                    ],
+                    axis=-1,
+                )
+            )
+        row_parts += [
             accept_sum_e[:, None],
             accept_n_e[:, None],
             n_steps_e[:, None],
         ]
         if n_extras:
             row_parts += [extras_sum_e, extras_n_e]
-        rows = jnp.concatenate(row_parts, axis=1)  # [n_local, 9 + 2K]
+        rows = jnp.concatenate(row_parts, axis=1)  # [n_local, (6+)3 + 2K]
         if axis is None:
             chain_update = rows[replica_of]  # permutation gather
         else:
@@ -235,16 +246,20 @@ def _make_round_kernel(
             )
         from .recorders import kadd
 
+        off = 6 if record_energy else 0
+        if record_energy:
+            rec = rec._replace(energy=kadd(rec.energy, chain_update[:, :6]))
         rec = rec._replace(
-            energy=kadd(rec.energy, chain_update[:, :6]),
-            exp_accept_sum=kadd(rec.exp_accept_sum, chain_update[:, 6]),
-            exp_accept_n=kadd(rec.exp_accept_n, chain_update[:, 7]),
-            exp_steps=kadd(rec.exp_steps, chain_update[:, 8]),
+            exp_accept_sum=kadd(rec.exp_accept_sum, chain_update[:, off]),
+            exp_accept_n=kadd(rec.exp_accept_n, chain_update[:, off + 1]),
+            exp_steps=kadd(rec.exp_steps, chain_update[:, off + 2]),
         )
         if n_extras:
             rec = rec._replace(
-                extra_sum=kadd(rec.extra_sum, chain_update[:, 9 : 9 + n_extras]),
-                extra_n=kadd(rec.extra_n, chain_update[:, 9 + n_extras :]),
+                extra_sum=kadd(
+                    rec.extra_sum, chain_update[:, off + 3 : off + 3 + n_extras]
+                ),
+                extra_n=kadd(rec.extra_n, chain_update[:, off + 3 + n_extras :]),
             )
 
         # online moments + trace at the target chain(s) (reference
@@ -253,33 +268,39 @@ def _make_round_kernel(
         # exactly one replica globally sits at each target chain, so the psum
         # of the masked local sum reconstructs its extract bit-for-bit.
         extract_loc = None
-        if axis is None:
-            tpos = jnp.asarray(target_positions)
-            ridx = replica_of[tpos]
-            extract = jax.vmap(extract_fn)(x_after[ridx], lp_after[ridx])
-        else:
-            extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
-            extracts = []
-            for tc in target_positions:
-                at_tc = chain_loc == tc
-                extracts.append(
-                    apsum(
-                        jnp.sum(jnp.where(at_tc[:, None], extract_loc, 0.0), axis=0)
+        extract = None
+        if record_online or record_traces:
+            if axis is None:
+                tpos = jnp.asarray(target_positions)
+                ridx = replica_of[tpos]
+                extract = jax.vmap(extract_fn)(x_after[ridx], lp_after[ridx])
+            else:
+                extract_loc = jax.vmap(extract_fn)(x_after, lp_after)
+                extracts = []
+                for tc in target_positions:
+                    at_tc = chain_loc == tc
+                    extracts.append(
+                        apsum(
+                            jnp.sum(
+                                jnp.where(at_tc[:, None], extract_loc, 0.0), axis=0
+                            )
+                        )
                     )
-                )
-            extract = jnp.stack(extracts)  # [T, d+1]
-        rec = rec._replace(
-            online_n=kadd(rec.online_n, float(len(target_positions))),
-            online_sum=kadd(rec.online_sum, jnp.sum(extract, axis=0)),
-            online_sumsq=kadd(rec.online_sumsq, jnp.sum(extract**2, axis=0)),
-        )
+                extract = jnp.stack(extracts)  # [T, d+1]
+        if record_online:
+            rec = rec._replace(
+                online_n=kadd(rec.online_n, float(len(target_positions))),
+                online_sum=kadd(rec.online_sum, jnp.sum(extract, axis=0)),
+                online_sumsq=kadd(rec.online_sumsq, jnp.sum(extract**2, axis=0)),
+            )
 
         # ---------------- communicate ----------------
         # round-trip + index process recorded with the PRE-swap chain
         # (reference swap.jl:106-126); replicated [N] computation
-        is_ref_all = ref_mask[chain_of] & (n > 1)
-        is_target_all = target_mask[chain_of]
-        rec = update_round_trips(rec, is_ref_all, is_target_all)
+        if record_round_trip:
+            is_ref_all = ref_mask[chain_of] & (n > 1)
+            is_target_all = target_mask[chain_of]
+            rec = update_round_trips(rec, is_ref_all, is_target_all)
 
         log_ratio = agather(lp_partner - lp_after)  # [N] in global replica order
 
@@ -313,7 +334,9 @@ def _make_round_kernel(
         swapped = res.chain_of[gidx] != chain_loc
         lp_next = jnp.where(swapped, lp_partner, lp_after)
 
-        outputs = {"trace": extract}
+        outputs = {}
+        if record_traces:
+            outputs["trace"] = extract
         if record_extended_traces:
             # all chains' extracts in chain order (reference extended_traces,
             # Inputs.jl:95-101); one [N, d+1] all_gather per scan under a mesh
@@ -360,7 +383,7 @@ def _make_round_kernel(
             states, chain_loc, k_explore, gidx, lp_cur, betas, is_var,
             exp_state, ref_params, scan_idx
         )
-        x_after = out.x
+        x_after = out.x.astype(states.dtype)
         if use_iid_reference:
             x_after = _blend_iid_x(
                 x_after, chain_loc, k_iid, gidx, is_var, ref_mask, ref_params
@@ -417,7 +440,7 @@ def _make_round_kernel(
             out = jax.vmap(one_step)(
                 flat_keys, states, lp_cur, betas_loc, isvar_loc, chain_params
             )
-        x_after = out.x
+        x_after = out.x.astype(states.dtype)
         if use_iid_reference:
             iid_keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_iid_r)
             is_ref_loc = ref_mask[chain_flat] & (n > 1)
@@ -425,7 +448,7 @@ def _make_round_kernel(
             iid = jax.vmap(lambda k, iv: sample_reference(k, iv, ref_params))(
                 iid_keys.reshape((R * n,) + iid_keys.shape[2:]), isvar_loc
             )
-            x_after = jnp.where(is_ref_loc[:, None], iid, x_after)
+            x_after = jnp.where(is_ref_loc[:, None], iid.astype(x_after.dtype), x_after)
 
         lp_after, lp_partner = _fused_post_densities(
             x_after, chain_flat, swap_graph(n_chains, scan_idx), betas, is_var,
@@ -601,6 +624,15 @@ class PT:
             raise ValueError(
                 "Inputs.target is required, e.g. pigeons(target=toy_mvn_target(10))"
             )
+        self.dtype = (
+            jnp.dtype(inputs.dtype).type if inputs.dtype is not None else jnp.float32
+        )
+        if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "Inputs.dtype=float64 requires JAX x64 mode: set "
+                "JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True) "
+                "before creating arrays"
+            )
         self.n_chains_fixed = inputs.n_chains
         self.n_chains_var = inputs.n_chains_variational
         self.variational = inputs.variational
@@ -732,14 +764,14 @@ class PT:
                 lambda k: rng.replica_keys(jax.random.fold_in(k, rng.INIT), n)
             )(self._key)
             self.states = jax.vmap(jax.vmap(target.initialization))(init_keys).astype(
-                jnp.float32
+                self.dtype
             )
             self.chain_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), (R, 1))
             self.replica_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), (R, 1))
         else:
             self._key = key
             init_keys = rng.replica_keys(jax.random.fold_in(key, rng.INIT), n)
-            self.states = jax.vmap(target.initialization)(init_keys).astype(jnp.float32)
+            self.states = jax.vmap(target.initialization)(init_keys).astype(self.dtype)
             self.chain_of = jnp.arange(n, dtype=jnp.int32)
             self.replica_of = jnp.arange(n, dtype=jnp.int32)
 
@@ -794,8 +826,8 @@ class PT:
         self._extract_dim = int(
             jax.eval_shape(
                 extract_fn,
-                jax.ShapeDtypeStruct((target.dim,), jnp.float32),
-                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((target.dim,), self.dtype),
+                jax.ShapeDtypeStruct((), self.dtype),
             ).shape[0]
         )
 
@@ -806,12 +838,30 @@ class PT:
         # to the vmapped per-replica path only when the explorer cannot
         # consume this run's reference params or the target is host-evaluated
         use_batched = (
-            getattr(self.explorer, "batched", False)
+            self.dtype == jnp.float32
+            and getattr(self.explorer, "batched", False)
             and not getattr(target, "host_evaluated", False)
             and getattr(self.explorer, "supports_ref_params", lambda rp: False)(
                 self._ref_params
             )
         )
+
+        # Inputs.record gating (reference @record_if_requested!): recorders the
+        # user disabled are never traced into the kernel. Exceptions that stay
+        # on regardless: swap acceptance (drives schedule adaptation), explorer
+        # acceptance/steps/extras (drive explorer adaptation; [N] scalars), and
+        # online moments whenever adaptation needs them (adapting
+        # preconditioners, variational fits) — the analogue of the reference's
+        # union of user + explorer + tempering + variational recorder builders
+        # (recorders/recorders.jl:63-70).
+        rec_set = set(inputs.record)
+        needs_online = self.variational is not None or (
+            self.explorer.needs_online_moments()
+            if hasattr(self.explorer, "needs_online_moments")
+            else False
+        )
+        self._record_online = "online" in rec_set or needs_online
+        self._record_traces = "traces" in rec_set or "disk" in rec_set
 
         self._kernel = _make_round_kernel(
             path_log_density,
@@ -824,7 +874,11 @@ class PT:
             extract_dim=self._extract_dim,
             record_extended_traces=inputs.extended_traces,
             record_index_process="index_process" in inputs.record,
-            record_swap_stats=record_swap_stats,
+            record_swap_stats=record_swap_stats and "log_sum_ratio" in rec_set,
+            record_energy="energy_ac1" in rec_set,
+            record_online=self._record_online,
+            record_round_trip="round_trip" in rec_set,
+            record_traces=self._record_traces,
             use_iid_reference=sample_ref is not None,
             mesh=self.mesh,
             n_replicates=R,
@@ -843,9 +897,9 @@ class PT:
         if self.two_leg:
             return jnp.asarray(
                 np.concatenate([self.schedule_var.grids, self.schedule.grids[::-1]]),
-                dtype=jnp.float32,
+                dtype=self.dtype,
             )
-        return jnp.asarray(self.schedule.grids, dtype=jnp.float32)
+        return jnp.asarray(self.schedule.grids, dtype=self.dtype)
 
     def _ladder(self) -> dict:
         n = self.n_chains
@@ -907,8 +961,11 @@ class PT:
         from .parallel.sharding import to_host
 
         # trace shape: [(R,)? n_scans, T, d+1] -> pooled [iterations, d+1]
-        trace = to_host(outputs["trace"])
-        self.traces = trace.reshape(-1, trace.shape[-1])
+        if "trace" in outputs:
+            trace = to_host(outputs["trace"])
+            self.traces = trace.reshape(-1, trace.shape[-1])
+        else:
+            self.traces = None  # traces recorder disabled via Inputs.record
         if "extended_trace" in outputs:
             self.extended_traces = to_host(outputs["extended_trace"])
         if "index_process" in outputs:

@@ -40,6 +40,9 @@ def kadd(acc, delta):
     increments once counts pass 2^24, where plain f32 addition silently
     drops them."""
     val, comp = acc[0], acc[1]
+    # f64 deltas (Inputs.dtype=float64 runs) are folded into the f32
+    # compensated accumulator so the scan carry keeps one stable dtype
+    delta = jnp.asarray(delta, val.dtype)
     y = delta - comp
     t = val + y
     comp_new = (t - val) - y
@@ -122,7 +125,7 @@ def update_round_trips(rec: Recorders, is_ref, is_target) -> Recorders:
 
 def update_logsum(lse, n, value, active):
     """Streaming logsumexp (reference ``recorders/LogSum.jl``), masked."""
-    new_lse = jnp.logaddexp(lse, value)
+    new_lse = jnp.logaddexp(lse, jnp.asarray(value, lse.dtype))
     return jnp.where(active, new_lse, lse), n + active.astype(n.dtype)
 
 

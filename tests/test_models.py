@@ -75,6 +75,33 @@ def test_centered_noncentered_agree():
     assert abs(mu_a - mu_b) < 2.0
 
 
+def test_logistic_regression_likelihood_identity():
+    """Default-tier guard on the rewritten likelihood: the one-transcendental
+    form y*z - softplus(z) must equal the textbook
+    y*log_sigmoid(z) + (1-y)*log_sigmoid(-z) (ADVICE r3: keep a fast
+    regression check on the expression the bench exercises)."""
+    t = logistic_regression(n=64, d=5, seed=3)
+    # regenerate the synthetic data exactly as logistic_regression(seed=3) does
+    k1, k2, k3 = jax.random.split(jax.random.key(3), 3)
+    X = jax.random.normal(k1, (64, 5))
+    w_true = jax.random.normal(k2, (5,))
+    y = (jax.random.uniform(k3, (64,)) < jax.nn.sigmoid(X @ w_true)).astype(
+        jnp.float32
+    )
+    key = jax.random.key(7)
+    for i in range(3):
+        q = {
+            "w": jax.random.normal(jax.random.fold_in(key, 2 * i), (5,)),
+            "b": jax.random.normal(jax.random.fold_in(key, 2 * i + 1), ()),
+        }
+        got = float(t.log_likelihood_fn(q))
+        z = X @ q["w"] + q["b"]
+        want = float(
+            jnp.sum(y * jax.nn.log_sigmoid(z) + (1 - y) * jax.nn.log_sigmoid(-z))
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
 @pytest.mark.slow
 def test_logistic_regression_recovers_signal():
     t = logistic_regression(n=150, d=4, seed=0)

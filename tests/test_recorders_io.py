@@ -116,3 +116,68 @@ def test_profiler_hook_writes_trace(tmp_path):
     )
     prof = os.path.join(pt.exec_folder, "profile", "round=2")
     assert os.path.isdir(prof) and any(os.scandir(prof))
+
+
+def test_record_gating_zero_cost_and_identical_trajectory():
+    """Disabled recorders are never traced into the kernel (reference
+    @record_if_requested! is zero-cost when absent) and MUST NOT perturb the
+    run's trajectory: states and chain permutations agree bitwise between a
+    full-record run and a record=() run of the same Inputs."""
+    from pigeons_tpu import Inputs, PT, SliceSampler
+    from pigeons_tpu.inputs import RECORD_ALL
+
+    def make(record):
+        return PT(
+            Inputs(
+                target=toy_mvn_target(3),
+                n_chains=4,
+                n_rounds=4,
+                seed=9,
+                record=record,
+                explorer=SliceSampler(n_passes=1),
+                show_report=False,
+            )
+        )
+
+    full = make(RECORD_ALL)
+    full.run()
+    bare = make(())
+    bare.run()
+
+    np.testing.assert_array_equal(np.asarray(full.states), np.asarray(bare.states))
+    np.testing.assert_array_equal(
+        np.asarray(full.chain_of), np.asarray(bare.chain_of)
+    )
+    # gated recorders report their disabled values
+    assert bare.traces is None
+    assert bare.n_round_trips == 0 and full.n_round_trips >= 0
+    assert np.isnan(bare.reports[-1].log_z_estimate)
+    assert np.isfinite(full.reports[-1].log_z_estimate)
+    assert np.all(np.isnan(bare.reduced.energy_ac1))
+    # swap acceptance (schedule adaptation) stays on in both
+    assert np.isfinite(bare.reduced.accept_mean).any()
+    # schedules adapted identically (adaptation inputs were never gated)
+    np.testing.assert_array_equal(full.schedule.grids, bare.schedule.grids)
+
+
+def test_record_gating_keeps_online_for_adapting_preconditioner():
+    """An explorer whose preconditioner re-estimates scales from the online
+    variance keeps the online recorder alive even when the user's record
+    tuple omits it (reference recorders.jl:63-70 union semantics)."""
+    from pigeons_tpu import AutoMALA, Inputs, PT
+
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(2),
+            n_chains=3,
+            n_rounds=3,
+            seed=2,
+            record=(),
+            explorer=AutoMALA(),
+            show_report=False,
+        )
+    )
+    pt.run()
+    assert pt._record_online
+    assert np.isfinite(pt.reduced.online_var).all()
+    assert pt.traces is None  # traces still gated off
