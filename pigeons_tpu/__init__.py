@@ -17,6 +17,7 @@ from .models import (
     ExternalTarget,
     LazyTarget,
     NativeTarget,
+    StanTarget,
     StreamTarget,
     TreePPLTarget,
     ising_target,
@@ -29,7 +30,9 @@ from .models import (
     logistic_regression,
     mrna_target,
     mvn_target,
+    binary_mixture_target,
     poisson_count_target,
+    stan_target,
     toy_mvn_target,
     unid_target,
 )
@@ -90,7 +93,10 @@ __all__ = [
     "logistic_regression",
     "mrna_target",
     "mvn_target",
+    "binary_mixture_target",
     "poisson_count_target",
+    "StanTarget",
+    "stan_target",
     "unid_target",
     "SliceSampler",
     "SliceSamplerPallas",

@@ -147,11 +147,6 @@ class PoissonCount(Target):
             log_density=self.log_density, sample_iid=self.sample_iid_target
         )
 
-    def default_explorer(self):
-        from ..ops import SliceSampler
-
-        return SliceSampler(integer_mask=self.integer_mask)
-
     def sample_iid_target(self, key):
         kk, kx = jax.random.split(key)
         k = jax.random.poisson(kk, self.rate).astype(jnp.float32)
@@ -164,6 +159,78 @@ class PoissonCount(Target):
 
 def poisson_count_target(rate: float = 5.0, n_cont: int = 1) -> PoissonCount:
     return PoissonCount(rate, n_cont)
+
+
+@dataclass(frozen=True)
+class BinaryMixture(Target):
+    """Mixed Bool/continuous toy target: b_i ~ Bernoulli(p) for i = 1, 2 and
+    x_j | b ~iid N(mu * (b_1 + b_2), 1). The Bool coordinates couple to the
+    continuous block through the mean, so both must mix for correctness.
+    Exercises the slice sampler's in-sampler exact Gibbs handling of Bool
+    coordinates via ``binary_mask`` auto-detection (reference
+    ``src/explorers/SliceSampler.jl:65-86`` special-cases Bools inside the
+    default explorer; no manual ``Compose`` with a binary kernel needed).
+    States carry {0., 1.} floats at the Bool coordinates."""
+
+    p: float = 0.4
+    mu: float = 1.5
+    n_cont: int = 2
+
+    @property
+    def dim(self):
+        return 2 + self.n_cont
+
+    @property
+    def binary_mask(self):
+        import numpy as np
+
+        m = np.zeros(self.dim, bool)
+        m[:2] = True
+        return m
+
+    def log_density(self, s):
+        b, x = s[:2], s[2:]
+        valid = jnp.all((b == 0.0) | (b == 1.0))
+        lp_b = jnp.sum(
+            b * math.log(self.p) + (1.0 - b) * math.log(1.0 - self.p)
+        )
+        m = self.mu * jnp.sum(b)
+        lp_x = jnp.sum(-0.5 * (x - m) ** 2 - 0.5 * math.log(2 * math.pi))
+        return jnp.where(valid, lp_b + lp_x, -jnp.inf)
+
+    def default_reference(self) -> Reference:
+        # Bern(1/2) on the Bool block, N(0, 3) on the continuous block —
+        # iid-sampleable and covering the target's support
+        n_c = self.n_cont
+
+        def ref_log_density(s):
+            b, x = s[:2], s[2:]
+            valid = jnp.all((b == 0.0) | (b == 1.0))
+            lp = -2.0 * math.log(2.0) + jnp.sum(
+                -0.5 * (x / 3.0) ** 2 - math.log(3.0) - 0.5 * math.log(2 * math.pi)
+            )
+            return jnp.where(valid, lp, -jnp.inf)
+
+        def ref_sample(key):
+            kb, kx = jax.random.split(key)
+            b = jax.random.bernoulli(kb, 0.5, (2,)).astype(jnp.float32)
+            x = 3.0 * jax.random.normal(kx, (n_c,))
+            return jnp.concatenate([b, x])
+
+        return Reference(log_density=ref_log_density, sample_iid=ref_sample)
+
+    def sample_iid_target(self, key):
+        kb, kx = jax.random.split(key)
+        b = (jax.random.uniform(kb, (2,)) < self.p).astype(jnp.float32)
+        x = self.mu * jnp.sum(b) + jax.random.normal(kx, (self.n_cont,))
+        return jnp.concatenate([b, x])
+
+    def initialization(self, key):
+        return self.default_reference().sample_iid(key)
+
+
+def binary_mixture_target(p: float = 0.4, mu: float = 1.5, n_cont: int = 2) -> BinaryMixture:
+    return BinaryMixture(p, mu, n_cont)
 
 
 # ---------------------------------------------------------------------------

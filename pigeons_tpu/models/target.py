@@ -41,9 +41,22 @@ class Target:
         raise NotImplementedError
 
     def default_explorer(self):
+        """Slice sampler with coordinate types auto-detected from the target:
+        a target exposing ``integer_mask`` / ``binary_mask`` properties gets
+        its ordinal coordinates handled with the reference's integer
+        conventions and its Bool coordinates routed to the in-sampler exact
+        Gibbs draw (reference ``SliceSampler.jl:65-86,136-142`` special-cases
+        both in the default explorer — no manual ``Compose`` needed)."""
         from ..ops import SliceSampler
 
-        return SliceSampler()
+        kw = {}
+        im = getattr(self, "integer_mask", None)
+        bm = getattr(self, "binary_mask", None)
+        if im is not None:
+            kw["integer_mask"] = im
+        if bm is not None:
+            kw["binary_mask"] = bm
+        return SliceSampler(**kw)
 
     def create_path(self, reference: Reference):
         return InterpolatingPath(

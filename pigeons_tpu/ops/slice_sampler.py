@@ -38,7 +38,15 @@ coordinates, handled with the reference's integer conventions
 and shrink candidates draw uniformly from the INCLUSIVE integer range
 ``{Lb..Rb}``. States stay float arrays carrying whole values — the density
 sees floats holding integers, like the reference's typed state vector.
-Bool coordinates are handled by ``BinaryGibbs`` (full-conditional draw).
+
+``binary_mask`` marks Bool coordinates, routed IN-SAMPLER to the exact
+full-conditional Gibbs draw (reference ``SliceSampler.jl:65-86`` special-
+cases Bools the same way): p(x_c = 1 | rest) from one extra density
+evaluation, no slicing. Mixed Bool+continuous models therefore run under
+the default explorer with no manual ``Compose``. The routing is a real
+``lax.cond`` even under vmap: the coordinate index is the shared
+(unbatched) fori counter, so the predicate is uniform across lanes and
+only one branch executes per coordinate.
 """
 
 from __future__ import annotations
@@ -56,7 +64,7 @@ DOUBLE, SHRINK, CHECK, STOP = range(4)
 
 class SliceSampler(Explorer):
     def __init__(self, w: float = 10.0, p: int = 20, n_passes: int = 3,
-                 max_iter: int = 1024, integer_mask=None):
+                 max_iter: int = 1024, integer_mask=None, binary_mask=None):
         self.w = float(w)
         self.p = int(p)
         self.n_passes = int(n_passes)
@@ -70,6 +78,11 @@ class SliceSampler(Explorer):
                     f"integer coordinates need a whole-number slice width; got w={self.w}"
                 )
         self.integer_mask = integer_mask
+        if binary_mask is not None:
+            binary_mask = np.asarray(binary_mask, bool)
+            if integer_mask is not None and (binary_mask & integer_mask).any():
+                raise ValueError("a coordinate cannot be both binary and integer")
+        self.binary_mask = binary_mask
 
     def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
         d = x.shape[0]
@@ -79,6 +92,11 @@ class SliceSampler(Explorer):
         int_mask = (
             jnp.asarray(self.integer_mask)
             if self.integer_mask is not None
+            else None
+        )
+        bin_mask = (
+            jnp.asarray(self.binary_mask)
+            if self.binary_mask is not None
             else None
         )
 
@@ -92,6 +110,44 @@ class SliceSampler(Explorer):
                 return lp_fn(x.at[c].set(v))
 
             old = x[c]
+
+            def gibbs_coord(carry):
+                """Exact full-conditional draw for a Bool coordinate
+                (reference ``SliceSampler.jl:65-86``): one extra density
+                evaluation at the flipped value; ``lp_cur`` caches the
+                current one."""
+                x, lp_cur, acc_sum, acc_n, n_evals = carry
+                lp_other = lp_at(1.0 - old)
+                is_one = old > 0.5
+                lp1 = jnp.where(is_one, lp_cur, lp_other)
+                lp0v = jnp.where(is_one, lp_other, lp_cur)
+                p_zero = 1.0 / (1.0 + jnp.exp(lp1 - lp0v))
+                u = jax.random.uniform(jax.random.fold_in(k_c, 0), dtype=f)
+                new = jnp.where(u < p_zero, 0.0, 1.0).astype(x.dtype)
+                return (
+                    x.at[c].set(new),
+                    jnp.where(new == old, lp_cur, lp_other),
+                    acc_sum + 1.0,
+                    acc_n + 1.0,
+                    n_evals + 1.0,
+                )
+
+            def slice_coord(carry):
+                x, lp_cur, acc_sum, acc_n, n_evals = carry
+                return _slice_body(
+                    x, lp_cur, acc_sum, acc_n, n_evals, c, k_c, is_int, old,
+                    lp_at,
+                )
+
+            if bin_mask is None:
+                return slice_coord(carry)
+            # the coordinate index is the shared fori counter, so the
+            # predicate is uniform across vmap lanes: a real branch, the
+            # slice machine never runs for binary coordinates
+            return lax.cond(bin_mask[c], gibbs_coord, slice_coord, carry)
+
+        def _slice_body(x, lp_cur, acc_sum, acc_n, n_evals, c, k_c, is_int,
+                        old, lp_at):
             z = lp_cur - jax.random.exponential(jax.random.fold_in(k_c, 0), dtype=f)
             u_init = jax.random.uniform(jax.random.fold_in(k_c, 1), dtype=f)
             # integer coords: L = old - Uniform{0..w} (inclusive), R = L + w

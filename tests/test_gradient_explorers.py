@@ -162,3 +162,42 @@ def test_nuts_moments_and_adaptation():
     assert 0.5 < np.nanmean(acc) <= 1.0
     depth = pt.reduced.extra_mean[:, 1]
     assert 1.0 <= np.nanmean(depth) < 8.0
+
+
+@pytest.mark.slow
+def test_automala_step_size_round_convergence():
+    """Reference ``test/test_auto_mala.jl:17-26``: the adapted step size
+    agrees between a 10-round and a 15-round run (rtol 0.1) on a 1-d toy
+    MVN with a single chain."""
+
+    def step_at(n_rounds):
+        pt = run(toy_mvn_target(1), AutoMALA(), n_rounds=n_rounds, n_chains=1)
+        return float(np.asarray(pt.exp_state["step_size"])[0])
+
+    s10 = step_at(10)
+    s15 = step_at(15)
+    np.testing.assert_allclose(s10, s15, rtol=0.1)
+
+
+@pytest.mark.slow
+def test_preconditioner_ess_ordering():
+    """Reference ``test/test_auto_mala.jl`` "Preconditioners: normal target"
+    block: on a scale-mismatched Gaussian (precisions [100, 0.01]), the
+    minimum per-dimension ESS is ordered
+    Identity < MixDiagonal < Diagonal (~12 / ~849 / ~3945 in the reference)."""
+    from pigeons_tpu import MixDiagonalPreconditioner
+    from pigeons_tpu.diagnostics import ess
+
+    target = HetPrecisionNormal([100.0, 0.01])
+
+    def min_ess(precond):
+        pt = run(
+            target, AutoMALA(preconditioner=precond), n_rounds=12, n_chains=1
+        )
+        sa = pt.sample_array()
+        return min(ess(sa[:, j]) for j in range(2))
+
+    e_id = min_ess(IdentityPreconditioner())
+    e_mix = min_ess(MixDiagonalPreconditioner())
+    e_diag = min_ess(DiagonalPreconditioner())
+    assert e_id < e_mix < e_diag, (e_id, e_mix, e_diag)

@@ -81,3 +81,35 @@ def test_integer_slice_width_validation():
 
     with pytest.raises(ValueError, match="whole-number"):
         SS(w=2.5, integer_mask=[True])
+
+
+def test_slice_invariant_binary_coords_default_explorer():
+    """Mixed Bool/continuous target under the DEFAULT explorer (no manual
+    Compose): binary_mask auto-detection routes the Bool coordinates to the
+    in-sampler exact Gibbs draw (reference SliceSampler.jl:65-86), and one
+    step leaves Bernoulli(0.4)^2 x N(mu*(b1+b2), 1)^2 invariant."""
+    import jax
+    import numpy as np
+    from pigeons_tpu import SliceSampler, binary_mixture_target
+
+    t = binary_mixture_target()
+    explorer = t.default_explorer()
+    assert isinstance(explorer, SliceSampler)
+    assert explorer.binary_mask is not None and explorer.binary_mask[:2].all()
+    res = invariance_test(t, explorer, n_iid_samples=N)
+    assert res.passed, f"failed dims {res.failed_dims}, pvalues {res.pvalues}"
+
+    # mechanics: Bool coordinates stay in {0, 1} and actually flip
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(4), jnp.arange(512)
+    )
+    xs = jax.vmap(t.sample_iid_target)(keys)
+    cp = jax.tree_util.tree_map(lambda a: a[0], explorer.init_state(1, t.dim))
+    out = jax.vmap(
+        lambda k, x: explorer.step(
+            k, x, t.log_density(x), t.log_density, 1.0, cp, 2
+        )
+    )(keys, xs)
+    b = np.asarray(out.x[:, :2])
+    assert set(np.unique(b)) <= {0.0, 1.0}
+    assert not np.array_equal(b, np.asarray(xs[:, :2]))  # flips happen

@@ -163,3 +163,18 @@ def test_poisson_count_end_to_end():
     assert abs(mean[1]) < 0.25 and abs(var[1] - 1.0) < 0.35
     samples = pt.sample_array()[:, 0]
     assert np.all(samples == np.round(samples))
+
+
+def test_binary_mixture_end_to_end():
+    """Full PT run on the mixed Bool/continuous target with the default
+    explorer (in-sampler Gibbs for Bool coordinates): the marginal
+    P(b_i = 1) must match the conditional-coupling posterior. With p = 0.4,
+    mu = 0 the likelihood is flat in b, so the posterior marginal is p."""
+    from pigeons_tpu import binary_mixture_target
+
+    pt = run(binary_mixture_target(mu=0.0), rounds=9, chains=4)
+    sa = pt.sample_array()
+    b = sa[:, :2]
+    assert set(np.unique(b)) <= {0.0, 1.0}
+    assert abs(b.mean() - 0.4) < 0.05
+    assert abs(sa[:, 2].mean()) < 0.15
