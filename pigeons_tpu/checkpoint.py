@@ -194,10 +194,30 @@ def load_pt(exec_folder: str, mesh=None, round_idx: Optional[int] = None):
     pt.reduced = meta["reduced"]
     pt.barriers = meta["barriers"]
     pt.barriers_var = meta["barriers_var"]
-    states = jnp.asarray(arrays["states"])
-    pt.states = mesh.shard_states(states) if mesh is not None else states
-    pt.chain_of = jnp.asarray(arrays["chain_of"])
-    pt.replica_of = jnp.asarray(arrays["replica_of"])
+    # Re-apply the load-time mesh's layout to every run-state array, through
+    # put_global so it works across jax.distributed process boundaries too
+    # (the reference explicitly supports single-process checkpoints resumed
+    # under MPI and vice versa, ``src/pt/checkpoint.jl:10-13``). PT(inputs)
+    # already derived ``_key`` (and its sharding) from the seed.
+    if mesh is not None:
+        from .parallel.sharding import put_global
+
+        if inputs.n_replicates > 1:
+            # replicate-sharded mode: leading replicate axis partitioned
+            sh = mesh.sharding()
+            pt.states = put_global(arrays["states"], sh)
+            pt.chain_of = put_global(arrays["chain_of"], sh)
+            pt.replica_of = put_global(arrays["replica_of"], sh)
+        else:
+            # chain-sharded mode: states partitioned, permutations replicated
+            pt.states = mesh.shard_states(jnp.asarray(arrays["states"]))
+            rep = mesh.replicated()
+            pt.chain_of = put_global(arrays["chain_of"], rep)
+            pt.replica_of = put_global(arrays["replica_of"], rep)
+    else:
+        pt.states = jnp.asarray(arrays["states"])
+        pt.chain_of = jnp.asarray(arrays["chain_of"])
+        pt.replica_of = jnp.asarray(arrays["replica_of"])
     pt.schedule = Schedule(arrays["schedule"])
     if "schedule_var" in arrays:
         pt.schedule_var = Schedule(arrays["schedule_var"])
