@@ -1,0 +1,229 @@
+"""Real ``.stan`` ingestion (VERDICT r3 item 5): reference Stan model files
+run unchanged through the Stan-subset-to-JAX front end, with AutoMALA (the
+reference's default for Stan targets, ``ext/PigeonsBridgeStanExt/
+interface.jl:51``) and constrained extraction incl. transformed parameters
+and generated quantities (``state.jl:4-8``).
+
+The reference's own example models (``/root/reference/examples/stan/*.stan``)
+are read directly where available — proving unmodified ``.stan`` sources run
+end-to-end — plus an inline model exercising every supported construct.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigeons_tpu import pigeons, stan_target
+from pigeons_tpu.models.stan import StanTarget, load_stan_data
+
+REF_STAN = "/root/reference/examples/stan"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_STAN), reason="reference examples not present"
+)
+
+
+@needs_ref
+def test_all_reference_examples_parse_and_differentiate():
+    """Every .stan example in the reference repo parses, evaluates to a
+    finite density at a generic point, and has a finite jax.grad."""
+    datas = {
+        "mvn": {"dim": 3, "precision": 2.0},
+        "unid": {"n_trials": 100, "n_successes": 50},
+        "funnel": {"dim": 4, "scale": 1.0},
+        "banana": {"dim": 3, "scale": 1.0},
+        "bernoulli": load_stan_data(f"{REF_STAN}/bernoulli.data.json"),
+        "eight_schools_centered": load_stan_data(f"{REF_STAN}/eight_schools.json"),
+        "eight_schools_noncentered": load_stan_data(f"{REF_STAN}/eight_schools.json"),
+        "mRNA": {
+            "N": 5,
+            "ts": np.linspace(0.5, 10, 5),
+            "ys": np.sin(np.linspace(0.5, 10, 5)),
+        },
+    }
+    for name, data in datas.items():
+        t = stan_target(file=f"{REF_STAN}/{name}.stan", data=data)
+        x = 0.3 * jnp.arange(t.dim, dtype=jnp.float32) / t.dim + 0.1
+        lp = float(t.log_density(x))
+        g = jax.jit(jax.grad(t.log_density))(x)
+        assert np.isfinite(lp), name
+        assert np.isfinite(np.asarray(g)).all(), name
+        assert t.sample_names()[-1] == "log_density"
+
+
+@needs_ref
+def test_mrna_gradients_finite_at_random_states():
+    """The mRNA model's user-defined functions use data-dependent
+    if/return/ternary; the front end's branch-input sanitization (double-
+    where) must keep gradients finite wherever the density is (the
+    reference's C++ executes one branch only and gets this for free)."""
+    t = stan_target(
+        file=f"{REF_STAN}/mRNA.stan",
+        data={"N": 5, "ts": np.linspace(0.5, 10, 5), "ys": np.sin(np.linspace(0.5, 10, 5))},
+    )
+    gf = jax.jit(jax.grad(t.log_density))
+    key = jax.random.key(1)
+    for i in range(20):
+        s = jax.random.normal(jax.random.fold_in(key, i), (t.dim,))
+        assert bool(jnp.isfinite(gf(s)).all()), np.asarray(s)
+
+
+@needs_ref
+def test_funnel_density_matches_handwritten():
+    from pigeons_tpu.models import funnel
+
+    ts = stan_target(file=f"{REF_STAN}/funnel.stan", data={"dim": 4, "scale": 1.0})
+    ours = funnel(4)
+    key = jax.random.key(0)
+    for i in range(5):
+        s = jax.random.normal(jax.random.fold_in(key, i), (5,))
+        np.testing.assert_allclose(
+            float(ts.log_density(s)), float(ours.log_density(s)), rtol=1e-4, atol=1e-4
+        )
+
+
+@needs_ref
+def test_bernoulli_end_to_end_with_extraction():
+    """The reference bernoulli.stan + bernoulli.data.json runs unchanged:
+    AutoMALA (default explorer), posterior mean of theta = 3/12 under the
+    Beta(3, 9) posterior, logZ = log B(3, 9), and param_constrain-style
+    extraction surfaces the transformed parameter (logit_theta) and the
+    generated quantity (y_sim)."""
+    t = stan_target(
+        file=f"{REF_STAN}/bernoulli.stan", data=f"{REF_STAN}/bernoulli.data.json"
+    )
+    from pigeons_tpu.ops import AutoMALA
+
+    assert isinstance(t.default_explorer(), AutoMALA)
+    pt = pigeons(target=t, n_chains=6, n_rounds=9, seed=1, show_report=False)
+    q = t.constrained_samples(pt)
+    theta = q["theta"]
+    assert abs(theta.mean() - 0.25) < 0.04
+    np.testing.assert_allclose(
+        q["logit_theta"], np.log(theta) - np.log1p(-theta), rtol=2e-4, atol=2e-4
+    )
+    assert set(np.unique(q["y_sim"])) <= {0.0, 1.0}
+    assert abs(q["y_sim"].mean() - 0.25) < 0.08
+    logz = pt.reports[-1].log_z_estimate
+    want = math.lgamma(3) + math.lgamma(9) - math.lgamma(12)
+    assert abs(logz - want) < 0.2
+    names = t.sample_names()
+    assert names == ["theta", "logit_theta", "y_sim", "log_density"]
+
+
+@needs_ref
+def test_stan_and_native_frontends_agree():
+    """Same model, two frontends (the reference's test_turing_stan_agree.jl):
+    the .stan eight-schools and the hand-written BayesianModel version reach
+    the same posterior mean of mu."""
+    from pigeons_tpu import SliceSampler, eight_schools
+
+    ts = stan_target(
+        file=f"{REF_STAN}/eight_schools_noncentered.stan",
+        data=load_stan_data(f"{REF_STAN}/eight_schools.json"),
+    )
+    a = pigeons(
+        target=ts, n_chains=6, n_rounds=9, seed=1,
+        explorer=SliceSampler(n_passes=1), show_report=False,
+    )
+    mu_stan = ts.constrained_samples(a)["mu"].mean()
+    b = pigeons(
+        target=eight_schools(centered=False), n_chains=6, n_rounds=9, seed=1,
+        explorer=SliceSampler(n_passes=1), show_report=False,
+    )
+    mu_native = b.inputs.target.constrained_samples(b)["mu"].mean()
+    assert abs(mu_stan - mu_native) < 2.0
+
+
+@needs_ref
+@pytest.mark.slow
+def test_unid_logz_oracle_through_stan():
+    """unid.stan (implicit uniform priors via constraints) reproduces the
+    exact marginal likelihood (reference test_stepping_stone.jl 2-leg
+    oracle model, rtol 0.05)."""
+    from pigeons_tpu.models import unid_analytic_log_z
+
+    t = stan_target(
+        file=f"{REF_STAN}/unid.stan", data={"n_trials": 100, "n_successes": 50}
+    )
+    pt = pigeons(target=t, n_chains=6, n_rounds=10, seed=1, show_report=False)
+    expected = unid_analytic_log_z()
+    assert abs(pt.reports[-1].log_z_estimate - expected) < abs(expected) * 0.05
+
+
+_INLINE = """
+functions {
+    real half_sq(real z) {
+        if (z < 0) {
+            return 0.0;
+        }
+        return 0.5 * square(z);
+    }
+}
+data {
+    int<lower=1> K;
+    array[K] real obs;
+    real<lower=0> s;
+}
+transformed data {
+    real s2 = square(s);
+}
+parameters {
+    real mu;
+    vector[K] eta;
+    real<lower=0, upper=1> w;
+}
+transformed parameters {
+    vector[K] lam = eta * w + mu;
+}
+model {
+    mu ~ normal(0, 3);
+    w ~ beta(2, 2);
+    eta ~ normal(0, 1);
+    for (k in 1:K) {
+        obs[k] ~ normal(lam[k], s);
+        target += -half_sq(lam[k] - obs[k]) / s2 * 0.0; // exercise target+=
+    }
+}
+generated quantities {
+    real obs_rep = normal_rng(lam[1], s);
+}
+"""
+
+
+def test_inline_model_all_constructs():
+    """Inline source exercising functions / conditional return / td / tp /
+    gq / loops / vectorized ~ / constraints, without the reference repo."""
+    obs = [0.3, -0.1, 0.8]
+    t = stan_target(source=_INLINE, data={"K": 3, "obs": obs, "s": 0.5})
+    assert t.dim == 1 + 3 + 1
+    x = jnp.asarray([0.2, -0.3, 0.1, 0.4, 0.3])
+    lp = float(t.log_density(x))
+    assert np.isfinite(lp)
+    g = jax.jit(jax.grad(t.log_density))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # hand-computed oracle for the same density
+    mu, eta, w_u = x[0], x[1:4], x[4]
+    w = float(jax.nn.sigmoid(w_u))
+    logjac = float(jax.nn.log_sigmoid(w_u) + jax.nn.log_sigmoid(-w_u))
+    lam = np.asarray(eta) * w + float(mu)
+    H = 0.5 * math.log(2 * math.pi)
+    log_beta_22 = math.lgamma(2) * 2 - math.lgamma(4)  # = -log 6
+    want = (
+        -0.5 * (float(mu) / 3) ** 2 - math.log(3.0) - H
+        + float(jnp.sum(-0.5 * eta**2)) - 3 * H
+        + (math.log(w) + math.log(1 - w) - log_beta_22)
+        + sum(-0.5 * ((o - l) / 0.5) ** 2 - math.log(0.5) - H for o, l in zip(obs, lam))
+        + logjac
+    )
+    np.testing.assert_allclose(lp, want, rtol=1e-4)
+    names = t.sample_names()
+    assert names[0] == "mu" and "lam[0]" in names and "obs_rep" in names
+
+
+def test_missing_data_raises():
+    with pytest.raises(ValueError, match="missing data"):
+        stan_target(source="data { int<lower=1> K; } parameters { real x; } model { x ~ normal(0, 1); }")
