@@ -148,9 +148,12 @@ def _best_of(pt, n_scans, rate_fn, n_timed=3):
     return best
 
 
-def _tpu_run():
-    """Config 1 headline: evals/s/chip on the 10-chain d=100 MVN."""
+def _tpu_run(record=None):
+    """Config 1 headline: evals/s/chip on the 10-chain d=100 MVN.
+    ``record=()`` measures the same run with every gateable recorder
+    disabled (zero-cost when off — reference @record_if_requested!)."""
     from pigeons_tpu import Inputs, PT, SliceSamplerPallas, toy_mvn_target
+    from pigeons_tpu.inputs import RECORD_DEFAULT
 
     pt = PT(
         Inputs(
@@ -161,6 +164,7 @@ def _tpu_run():
             seed=1,
             explorer=SliceSamplerPallas(),
             show_report=False,
+            record=RECORD_DEFAULT if record is None else record,
         )
     )
     # adaptation warmup at one fixed scan count (a single compile), then the
@@ -264,8 +268,9 @@ def _mesh_run():
 
 
 def _automala_run():
-    """BASELINE config 2: logistic-regression posterior with AutoMALA;
-    an eval here is one leapfrog (= one gradient + one density query)."""
+    """BASELINE config 2a: small logistic-regression posterior with AutoMALA
+    (VPU-bound; kept for round-over-round continuity); an eval is one
+    leapfrog (= one gradient + one density query)."""
     from pigeons_tpu import AutoMALA, Inputs, PT
     from pigeons_tpu.models import logistic_regression
 
@@ -290,11 +295,74 @@ def _automala_run():
     return rate, report
 
 
+MXU_N, MXU_D = 4096, 256
+MXU_CHAINS, MXU_REPS = 10, 409  # ~4090 lanes: best measured lane-scans/s
+MXU_SCANS = 8
+
+
+def _automala_mxu_baseline(budget_s: float = 3.0) -> float:
+    """Host NumPy (BLAS) baseline for config 2b: density+gradient evals/s of
+    the same n=4096, d=256 logistic-regression posterior, evaluated one state
+    at a time (the serial denominator for the MXU config)."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(MXU_N, MXU_D))
+    y = (rng.random(MXU_N) < 0.5).astype(np.float64)
+    w = rng.normal(size=MXU_D) * 0.05
+    b = 0.0
+    evals = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_s:
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        lp = float(np.sum(y * z - np.logaddexp(0.0, z))) - 0.125 * float(w @ w)
+        g = X.T @ (y - p) - 0.25 * w
+        w = w + 1e-7 * g  # keep the state moving so nothing is cached
+        evals += 1
+        del lp
+    return evals / (time.perf_counter() - t0)
+
+
+def _automala_mxu_run():
+    """BASELINE config 2b: MXU-scale logistic regression (n=4096, d=256) with
+    the queued AutoMALA (compacted work-queue + in-queue speculation — see
+    docs/performance.md; chains bitwise-identical to the sequential search).
+    Reports evals/s plus achieved TFLOP/s and utilization of the v5e's
+    197 TF bf16 matmul peak (4·n·d FLOPs per density+gradient eval)."""
+    from pigeons_tpu import AutoMALA, Inputs, PT
+    from pigeons_tpu.models import logistic_regression
+
+    target = logistic_regression(MXU_N, MXU_D, seed=0)
+    pt = PT(
+        Inputs(
+            target=target,
+            n_chains=MXU_CHAINS,
+            n_rounds=4,
+            n_replicates=MXU_REPS,
+            seed=1,
+            explorer=AutoMALA(queued=True, queue_width=512, window=4),
+            show_report=False,
+        )
+    )
+    while pt.round_idx < 4:
+        pt.run_round(n_scans=4)
+    rate, _, report = _best_of(
+        pt, MXU_SCANS, lambda r, rep: _eval_rate(r, rep, MXU_CHAINS, MXU_REPS)
+    )
+    tflops = rate * 4.0 * MXU_N * (MXU_D + 1) / 1e12
+    return rate, tflops, report
+
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def main() -> None:
     baseline = _serial_baseline_evals_per_sec()
     value, report, pt = _tpu_run()
+    off_value, off_report, _ = _tpu_run(record=())
     rt_rate, trips, restarts, rt_report, rt_pt = _round_trip_run()
     am_value, am_report = _automala_run()
+    mxu_base = _automala_mxu_baseline()
+    mxu_value, mxu_tflops, mxu_report = _automala_mxu_run()
     var_rate, var_restarts, var_report, var_pt = _variational_run()
     mesh_value, mesh_report = _mesh_run()
     print(
@@ -304,8 +372,15 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(value / baseline, 3),
+                "evals_per_sec_recorders_off": round(off_value, 1),
                 "round_trips_per_hour": round(rt_rate, 1),
                 "automala_logreg_evals_per_sec": round(am_value, 1),
+                "automala_mxu_evals_per_sec": round(mxu_value, 1),
+                "automala_mxu_tflops": round(mxu_tflops, 2),
+                "automala_mxu_matmul_peak_pct": round(
+                    100.0 * mxu_tflops / V5E_BF16_PEAK_TFLOPS, 1
+                ),
+                "automala_mxu_vs_host_numpy": round(mxu_value / mxu_base, 1),
                 "variational_restarts_per_hour": round(var_rate, 1),
                 "mesh_evals_per_sec_per_chip": round(mesh_value, 1),
             }
@@ -320,8 +395,15 @@ def main() -> None:
         f"{rt_report.n_scans}-scan round in {rt_report.wall_time_s:.2f}s -> "
         f"{trips} trips ({restarts} restarts) pooled, barrier "
         f"{rt_pt.global_barrier:.2f}\n"
-        f"# automala logreg: {am_report.n_scans} scans in "
+        f"# automala logreg (2a, n=200 d=10): {am_report.n_scans} scans in "
         f"{am_report.wall_time_s:.2f}s (evals = leapfrog gradient queries)\n"
+        f"# automala MXU (2b, n={MXU_N} d={MXU_D}, {MXU_CHAINS}x{MXU_REPS} lanes, "
+        f"queued search): {mxu_report.n_scans} scans in "
+        f"{mxu_report.wall_time_s:.2f}s -> {mxu_tflops:.1f} TFLOP/s "
+        f"({100.0*mxu_tflops/V5E_BF16_PEAK_TFLOPS:.1f}% of bf16 matmul peak; "
+        f"host-numpy baseline {mxu_base:.0f} evals/s)\n"
+        f"# config1 with recorders off: {off_report.n_scans} scans in "
+        f"{off_report.wall_time_s:.2f}s\n"
         f"# variational two-leg: {VAR_CHAINS}+{VAR_CHAINS} chains x "
         f"{VAR_REPLICATES} ladders, {var_report.n_scans}-scan round in "
         f"{var_report.wall_time_s:.2f}s -> {var_restarts} restarts, "

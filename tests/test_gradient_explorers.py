@@ -201,3 +201,70 @@ def test_preconditioner_ess_ordering():
     e_mix = min_ess(MixDiagonalPreconditioner())
     e_diag = min_ess(DiagonalPreconditioner())
     assert e_id < e_mix < e_diag, (e_id, e_mix, e_diag)
+
+
+def test_queued_automala_bitwise_equals_sequential():
+    """The compacted work-queue search (AutoMALA(queued=True), the MXU-scale
+    fast path — docs/performance.md r4) must select the same exponent and
+    candidate as the sequential search: full runs agree bitwise, including
+    with in-queue speculation (window > 1)."""
+    import jax
+
+    from pigeons_tpu import Inputs, PT, toy_mvn_target
+
+    def go(**kw):
+        pt = PT(
+            Inputs(
+                target=toy_mvn_target(8),
+                n_chains=6,
+                n_rounds=5,
+                seed=3,
+                explorer=AutoMALA(**kw),
+                show_report=False,
+            )
+        )
+        pt.run()
+        return pt
+
+    a = go()
+    for kw in (
+        dict(queued=True, queue_width=4),
+        dict(queued=True, queue_width=8, window=3),
+    ):
+        b = go(**kw)
+        np.testing.assert_array_equal(
+            np.asarray(a.states), np.asarray(b.states), err_msg=str(kw)
+        )
+        np.testing.assert_array_equal(a.sample_array(), b.sample_array())
+        np.testing.assert_array_equal(
+            np.asarray(a.exp_state["step_size"]),
+            np.asarray(b.exp_state["step_size"]),
+        )
+        assert (
+            a.reports[-1].log_z_estimate == b.reports[-1].log_z_estimate
+        ), kw
+
+
+def test_windowed_automala_bitwise_equals_sequential():
+    """The vmapped speculative window (AutoMALA(window=W)) replicates the
+    sequential stopping rule by selection — full runs agree bitwise."""
+    from pigeons_tpu import Inputs, PT, toy_mvn_target
+
+    def go(**kw):
+        pt = PT(
+            Inputs(
+                target=toy_mvn_target(5),
+                n_chains=4,
+                n_rounds=5,
+                seed=7,
+                explorer=AutoMALA(**kw),
+                show_report=False,
+            )
+        )
+        pt.run()
+        return pt
+
+    a = go()
+    b = go(window=3)
+    np.testing.assert_array_equal(np.asarray(a.states), np.asarray(b.states))
+    np.testing.assert_array_equal(a.sample_array(), b.sample_array())
