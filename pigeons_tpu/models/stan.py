@@ -480,6 +480,37 @@ def _lpdf_student_t(y, nu, mu, sigma):
     )
 
 
+def _lpdf_gamma(y, alpha, beta):
+    return (
+        alpha * jnp.log(beta)
+        - jax.lax.lgamma(1.0 * alpha)
+        + (alpha - 1.0) * jnp.log(y)
+        - beta * y
+    )
+
+
+def _lpdf_inv_gamma(y, alpha, beta):
+    return (
+        alpha * jnp.log(beta)
+        - jax.lax.lgamma(1.0 * alpha)
+        - (alpha + 1.0) * jnp.log(y)
+        - beta / y
+    )
+
+
+def _lpmf_poisson(k, lam):
+    return k * jnp.log(lam) - lam - jax.lax.lgamma(k + 1.0)
+
+
+def _lpdf_double_exponential(y, mu, sigma):
+    return -jnp.abs(y - mu) / sigma - jnp.log(2.0 * sigma)
+
+
+def _lpdf_logistic(y, mu, sigma):
+    z = (y - mu) / sigma
+    return -z - jnp.log(sigma) - 2.0 * jax.nn.softplus(-z)
+
+
 _DENSITIES = {
     "normal": _lpdf_normal,
     "cauchy": _lpdf_cauchy,
@@ -490,6 +521,11 @@ _DENSITIES = {
     "exponential": _lpdf_exponential,
     "lognormal": _lpdf_lognormal,
     "student_t": _lpdf_student_t,
+    "gamma": _lpdf_gamma,
+    "inv_gamma": _lpdf_inv_gamma,
+    "poisson": _lpmf_poisson,
+    "double_exponential": _lpdf_double_exponential,
+    "logistic": _lpdf_logistic,
 }
 
 

@@ -227,3 +227,33 @@ def test_inline_model_all_constructs():
 def test_missing_data_raises():
     with pytest.raises(ValueError, match="missing data"):
         stan_target(source="data { int<lower=1> K; } parameters { real x; } model { x ~ normal(0, 1); }")
+
+
+def test_extended_distribution_library():
+    """gamma / inv_gamma / poisson / double_exponential / logistic lpdfs
+    match scipy to high precision (full normalizing constants)."""
+    from scipy import stats
+
+    src = """
+    data { int<lower=0> k; real<lower=0> yv; }
+    parameters { real<lower=0> s; }
+    model {
+        s ~ gamma(2.5, 1.5);
+        yv ~ inv_gamma(3.0, 2.0);
+        k ~ poisson(s);
+        target += double_exponential_lpdf(yv | 0.5, 2.0);
+        target += logistic_lpdf(yv | 0.0, 1.5);
+    }
+    """
+    t = stan_target(source=src, data={"k": 4, "yv": 1.3})
+    u = jnp.asarray([0.2])
+    s = float(jnp.exp(u[0]))  # lower=0 transform
+    want = (
+        stats.gamma.logpdf(s, 2.5, scale=1 / 1.5)
+        + stats.invgamma.logpdf(1.3, 3.0, scale=2.0)
+        + stats.poisson.logpmf(4, s)
+        + stats.laplace.logpdf(1.3, 0.5, 2.0)
+        + stats.logistic.logpdf(1.3, 0.0, 1.5)
+        + float(u[0])  # jacobian of exp
+    )
+    np.testing.assert_allclose(float(t.log_density(u)), want, rtol=2e-5)
