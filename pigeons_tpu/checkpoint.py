@@ -28,20 +28,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class _ImmutablePickler(pickle.Pickler):
+try:
+    # closure-bearing targets (BayesianModel likelihoods, custom extractors)
+    # serialize by value; cloudpickle output loads with plain pickle
+    from cloudpickle import CloudPickler as _BasePickler
+except ImportError:  # pragma: no cover - cloudpickle present in CI image
+    _BasePickler = pickle.Pickler
+
+
+class _ImmutablePickler(_BasePickler):
     """Hash-deduplicated serialization of large arrays (reference
     ``src/utils/Immutable.jl:39-87``): big datasets embedded in a target are
     written ONCE per run under ``<exec_folder>/immutables/<hash>.npy`` and
     checkpoints reference them by content hash, so per-round checkpoints stay
-    small no matter how large the model's data is."""
+    small no matter how large the model's data is. Built on cloudpickle so
+    closures serialize by value (the reference's ``Serialization`` handles
+    Julia closures natively; its Stan ext needs a custom serializer only for
+    the native model handle, ``ext/PigeonsBridgeStanExt/interface.jl:34-49``)."""
 
     THRESHOLD_BYTES = 1 << 14
 
     def __init__(self, file, immutables_dir: str):
-        super().__init__(file, protocol=pickle.HIGHEST_PROTOCOL)
+        super().__init__(file, protocol=pickle.DEFAULT_PROTOCOL)
         self.immutables_dir = immutables_dir
 
     def persistent_id(self, obj):
+        if isinstance(obj, jax.Array) and obj.nbytes > self.THRESHOLD_BYTES:
+            obj = np.asarray(obj)  # device arrays dedup as host data too
         if (
             isinstance(obj, np.ndarray)
             and obj.nbytes > self.THRESHOLD_BYTES

@@ -56,6 +56,16 @@ def preflight_checks(inputs) -> None:
         raise ValueError("checked_round with n_replicates > 1 is not supported")
     if "disk" in inputs.record and not inputs.checkpoint:
         raise ValueError("activate checkpoint when using the disk recorder")
+    from .inputs import KNOWN_RECORDERS
+
+    unknown = set(inputs.record) - KNOWN_RECORDERS
+    if unknown:
+        # a typo would otherwise silently disable a recorder (Inputs.record
+        # gates kernel tracing since r4)
+        raise ValueError(
+            f"unknown recorder name(s) {sorted(unknown)}; known recorders: "
+            f"{sorted(KNOWN_RECORDERS)}"
+        )
 
 
 def recursive_equal(a, b, path: str = "", failures=None) -> list:

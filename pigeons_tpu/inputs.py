@@ -11,6 +11,9 @@ from typing import Any, Optional, Sequence
 
 RECORD_DEFAULT = ("swap_acceptance_pr", "log_sum_ratio", "round_trip", "traces", "online")
 RECORD_ALL = RECORD_DEFAULT + ("index_process", "energy_ac1")
+# every gateable recorder name (preflight validates Inputs.record against
+# this set so typos fail loudly instead of silently disabling a recorder)
+KNOWN_RECORDERS = frozenset(RECORD_ALL) | {"disk"}
 
 
 @dataclass

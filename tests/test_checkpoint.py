@@ -168,3 +168,41 @@ def test_checked_round_catches_cross_process_nondeterminism(tmp_path, monkeypatc
             )
     finally:
         sys.path.pop(0)
+
+
+def test_closure_target_checkpoints_and_resumes_bitwise(tmp_path):
+    """Targets holding closures (BayesianModel likelihoods over captured data
+    arrays) must checkpoint: serialization goes through cloudpickle, and the
+    captured data matrix dedups into the immutables store (reference
+    Immutable.jl; the reference's Julia Serialization handles closures
+    natively). Resume recomputes bitwise."""
+    import glob
+
+    from pigeons_tpu import AutoMALA
+    from pigeons_tpu.models import logistic_regression
+
+    t = logistic_regression(4096, 16, seed=0)  # X = 256 KB, above threshold
+    pt = PT(
+        Inputs(
+            target=t, n_chains=3, n_rounds=4, seed=2, explorer=AutoMALA(),
+            checkpoint=True, checkpoint_folder=str(tmp_path / "run"),
+            show_report=False,
+        )
+    )
+    pt.run()
+    # the big captured arrays landed in immutables exactly once
+    imm = glob.glob(str(tmp_path / "run" / "immutables" / "*.npy"))
+    assert len(imm) >= 1
+    metas = glob.glob(str(tmp_path / "run" / "round=*" / "checkpoint" / "meta.pkl"))
+    assert all(os.path.getsize(p) < 100_000 for p in metas)
+    again = load_pt(str(tmp_path / "run"), round_idx=3)
+    again.run_round()
+    np.testing.assert_array_equal(pt.sample_array(), again.sample_array())
+
+
+def test_unknown_recorder_name_rejected():
+    from pigeons_tpu import pigeons, toy_mvn_target
+
+    with pytest.raises(ValueError, match="unknown recorder"):
+        pigeons(target=toy_mvn_target(2), n_chains=2, n_rounds=1,
+                record=("trace",), show_report=False)
