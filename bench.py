@@ -296,7 +296,7 @@ def _automala_run():
 
 
 MXU_N, MXU_D = 4096, 256
-MXU_CHAINS, MXU_REPS = 10, 409  # ~4090 lanes: best measured lane-scans/s
+MXU_CHAINS, MXU_REPS = 10, 819  # ~8190 lanes: best measured lane-scans/s (35.9k)
 MXU_SCANS = 8
 
 

@@ -65,7 +65,7 @@ def setup_blang(
         return None
     if organization == "UBC-Stat-ML" and repo_name in PRECOMPILED_BLANG_LIBS:
         url = f"https://www.stat.ubc.ca/~bouchard/pub/{repo_name}.zip"
-        runner(["curl", url, "--output", f"{repo_name}.zip"], cwd=base)
+        runner(["curl", "-fL", url, "--output", f"{repo_name}.zip"], cwd=base)
         runner(["unzip", f"{repo_name}.zip"], cwd=base)
     else:
         runner(
@@ -74,6 +74,14 @@ def setup_blang(
         )
         gradle = os.path.join(repo_path, "gradlew")
         runner([gradle, "installDist"], cwd=repo_path)
+    if not os.path.isdir(repo_path):
+        # e.g. the zip's top-level directory differs from the repo name —
+        # fail HERE rather than later with a confusing "run setup_blang
+        # first" from blang_executable (and a half-installed dir that would
+        # make re-runs no-op)
+        raise FileNotFoundError(
+            f"setup completed but {repo_path} does not exist; inspect {base}"
+        )
     return repo_path
 
 

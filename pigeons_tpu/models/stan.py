@@ -302,7 +302,7 @@ class _Parser:
         # declaration?
         if v in ("int", "real", "vector", "row_vector", "array") and self.peek(1)[1] not in ("(", "["):
             return self.parse_decl()
-        if v in ("vector", "array") and self.peek(1)[1] == "[":
+        if v in ("vector", "row_vector", "array") and self.peek(1)[1] == "[":
             return self.parse_decl()
         # expression statement: lvalue op expr | expr ~ dist(...)
         e = self.parse_expr()
@@ -563,8 +563,9 @@ _MATH_FNS = {
     "rows": lambda x: int(np.shape(x)[0]),
     "size": lambda x: int(np.shape(x)[0]),
     "rep_vector": lambda v, n: jnp.full((int(n),), v),
-    "min": jnp.minimum,
-    "max": jnp.maximum,
+    # Stan overloads min/max: binary scalar form AND container reduction
+    "min": lambda *a: jnp.min(a[0]) if len(a) == 1 else jnp.minimum(*a),
+    "max": lambda *a: jnp.max(a[0]) if len(a) == 1 else jnp.maximum(*a),
     "floor": jnp.floor,
     "ceil": jnp.ceil,
     "sin": jnp.sin,
@@ -667,11 +668,7 @@ class _Evaluator:
         if kind == "index":
             base = self.eval_expr(node[1], env)
             idx = tuple(self.eval_expr(i, env) for i in node[2])
-            # Stan is 1-indexed
-            idx = tuple(
-                (i - 1) if isinstance(i, (int, np.integer)) else (i - 1)
-                for i in idx
-            )
+            idx = tuple(i - 1 for i in idx)  # Stan is 1-indexed
             return base[idx if len(idx) > 1 else idx[0]]
         if kind == "transpose":
             v = self.eval_expr(node[1], env)
@@ -860,7 +857,7 @@ class _Evaluator:
             val = None if s[1] is None else self.eval_expr(s[1], env)
             if mask is None:
                 raise _Return(val)
-            return [(None, val)] if mask is None else [(mask, val)]
+            return [(mask, val)]
         raise SyntaxError(f"stan: cannot execute {s!r}")
 
     def _assign(self, lv, op, val, env, mask):
@@ -1057,13 +1054,13 @@ class StanTarget(Target):
             else:
                 names.append(pname)
         if include_tp:
-            names += self._block_var_names("transformed parameters", shape_env=True)
+            names += self._block_var_names("transformed parameters")
         if include_gq:
-            names += self._block_var_names("generated quantities", shape_env=True)
+            names += self._block_var_names("generated quantities")
         names.append("log_density")
         return names
 
-    def _block_var_names(self, block, shape_env=False):
+    def _block_var_names(self, block):
         names = []
         env, _ = self._constrain_env(jnp.zeros(self.dim))
         ev = _Evaluator(

@@ -855,6 +855,16 @@ class PT:
         # union of user + explorer + tempering + variational recorder builders
         # (recorders/recorders.jl:63-70).
         rec_set = set(inputs.record)
+        from .inputs import KNOWN_RECORDERS
+
+        unknown = rec_set - KNOWN_RECORDERS
+        if unknown:
+            # fail at construction (run_round() users never reach
+            # preflight_checks): a typo would silently disable a recorder
+            raise ValueError(
+                f"unknown recorder name(s) {sorted(unknown)}; known "
+                f"recorders: {sorted(KNOWN_RECORDERS)}"
+            )
         needs_online = self.variational is not None or (
             self.explorer.needs_online_moments()
             if hasattr(self.explorer, "needs_online_moments")
@@ -1115,6 +1125,11 @@ class PT:
         column is the interpolated log density (reference ``extract_sample``
         appends it, ``src/pt/state.jl:90-99``)."""
         if self.traces is None:
+            if self.round_idx > 0 and not self._record_traces:
+                raise RuntimeError(
+                    "the traces recorder is disabled by Inputs.record; add "
+                    "'traces' (or 'disk') to record samples"
+                )
             raise RuntimeError("run() first")
         return self.traces
 
@@ -1126,10 +1141,20 @@ class PT:
         arr = self.extended_traces
         return arr.reshape(-1, arr.shape[-2], arr.shape[-1])
 
+    def _require_online(self):
+        if not self._record_online:
+            # otherwise the gated-off accumulators would read as exact zeros
+            raise RuntimeError(
+                "the online-moments recorder is disabled by Inputs.record; "
+                "add 'online' to compute mean()/var()"
+            )
+
     def mean(self) -> np.ndarray:
+        self._require_online()
         return self.reduced.online_mean[:-1]
 
     def var(self) -> np.ndarray:
+        self._require_online()
         return self.reduced.online_var[:-1]
 
     @property

@@ -23,24 +23,31 @@ from pigeons_tpu.models.stream import java_seed
 
 
 class Recorder:
-    def __init__(self):
+    """Mock runner: records commands and simulates their filesystem effect
+    (clone/unzip create the repo directory) so setup_blang's post-install
+    verification passes."""
+
+    def __init__(self, creates=None):
         self.calls = []
+        self.creates = creates
 
     def __call__(self, cmd, cwd=None):
         self.calls.append((list(cmd), cwd))
+        if self.creates and cmd[0] in ("git", "unzip"):
+            os.makedirs(self.creates, exist_ok=True)
 
 
 def test_setup_blang_precompiled(tmp_path):
-    r = Recorder()
+    r = Recorder(creates=str(tmp_path / "blangDemos"))
     path = setup_blang("blangDemos", base_dir=str(tmp_path), runner=r)
     assert path == str(tmp_path / "blangDemos")
     (c1, cwd1), (c2, cwd2) = r.calls
-    assert c1[0] == "curl" and c1[1].endswith("blangDemos.zip")
+    assert c1[:2] == ["curl", "-fL"] and c1[2].endswith("blangDemos.zip")
     assert c2 == ["unzip", "blangDemos.zip"] and cwd2 == str(tmp_path)
 
 
 def test_setup_blang_clone_and_gradle(tmp_path):
-    r = Recorder()
+    r = Recorder(creates=str(tmp_path / "myModels"))
     path = setup_blang("myModels", organization="someone", base_dir=str(tmp_path), runner=r)
     (c1, cwd1), (c2, cwd2) = r.calls
     assert c1 == ["git", "clone", "https://github.com/someone/myModels.git"]
@@ -164,3 +171,10 @@ def test_tppl_record_without_output_dir_rejected(tmp_path):
     binary = TreePPLBinary(path=str(tmp_path / "bin"), record_samples=True)
     with pytest.raises(ValueError, match="output_dir"):
         tppl_construct_target(binary, str(tmp_path / "d.json"))
+
+
+def test_setup_blang_detects_broken_install(tmp_path):
+    """A fetch that never materializes the repo directory fails loudly at
+    setup time, not later in blang_executable (code-review r4)."""
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        setup_blang("blangDemos", base_dir=str(tmp_path), runner=Recorder())

@@ -181,3 +181,34 @@ def test_record_gating_keeps_online_for_adapting_preconditioner():
     assert pt._record_online
     assert np.isfinite(pt.reduced.online_var).all()
     assert pt.traces is None  # traces still gated off
+
+
+def test_gated_moments_and_traces_raise_clearly():
+    """mean()/var()/sample_array() must not silently return zeros when their
+    recorders are gated off via Inputs.record (code-review r4)."""
+    import pytest
+
+    from pigeons_tpu import Inputs, PT, SliceSampler
+
+    pt = PT(
+        Inputs(
+            target=toy_mvn_target(2), n_chains=3, n_rounds=2, seed=1,
+            record=(), explorer=SliceSampler(n_passes=1), show_report=False,
+        )
+    )
+    pt.run()
+    with pytest.raises(RuntimeError, match="online"):
+        pt.mean()
+    with pytest.raises(RuntimeError, match="traces"):
+        pt.sample_array()
+
+
+def test_unknown_recorder_rejected_at_construction():
+    """run_round() users never reach preflight_checks, so PT.__init__ itself
+    validates Inputs.record (code-review r4)."""
+    import pytest
+
+    from pigeons_tpu import Inputs, PT
+
+    with pytest.raises(ValueError, match="unknown recorder"):
+        PT(Inputs(target=toy_mvn_target(2), n_chains=2, record=("trace",)))

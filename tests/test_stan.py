@@ -257,3 +257,29 @@ def test_extended_distribution_library():
         + float(u[0])  # jacobian of exp
     )
     np.testing.assert_allclose(float(t.log_density(u)), want, rtol=2e-5)
+
+
+def test_row_vector_decl_in_transformed_block_and_minmax_reduction():
+    """row_vector declarations parse in statement position, and min/max
+    dispatch on arity (container reduction vs binary scalar) —
+    code-review r4 fixes."""
+    src = """
+    data { int<lower=1> K; }
+    parameters { vector[K] y; }
+    transformed parameters {
+        row_vector[K] z;
+        z = y' * 2.0;
+    }
+    model {
+        real top = max(y);
+        real bottom = min(y);
+        real clipped = fmax(top, 0.5) + min(bottom, -0.5);
+        target += -0.5 * dot_self(y) - square(top - bottom) * 0.0 + clipped * 0.0;
+        target += sum(z) * 0.0;
+    }
+    """
+    t = stan_target(source=src, data={"K": 3})
+    x = jnp.asarray([0.5, -1.0, 2.0])
+    lp = float(t.log_density(x))
+    np.testing.assert_allclose(lp, -0.5 * float(jnp.sum(x * x)), rtol=1e-6)
+    assert "z[0]" in t.sample_names()
