@@ -203,6 +203,40 @@ def _round_trip_run():
     return rate, trips, restarts, report, pt
 
 
+FUNNEL_CHAINS = 12
+FUNNEL_SCANS = 256
+FUNNEL_REPLICATES = 256
+
+
+def _funnel_run():
+    """BASELINE config 3: Neal's funnel (multimodal-geometry target) with
+    communication-barrier tuning and round-trip diagnostics — the XLA slice
+    path (the funnel is non-separable, so the banded Pallas kernel does not
+    apply); trips pooled across replicate ladders."""
+    from pigeons_tpu import Inputs, PT, SliceSampler
+    from pigeons_tpu.models import funnel
+
+    pt = PT(
+        Inputs(
+            target=funnel(9),
+            n_chains=FUNNEL_CHAINS,
+            n_rounds=6,
+            n_replicates=FUNNEL_REPLICATES,
+            seed=1,
+            explorer=SliceSampler(n_passes=1),
+            show_report=False,
+        )
+    )
+    while pt.round_idx < 6:
+        pt.run_round(n_scans=8)  # barrier estimation + schedule adaptation
+    rate, reduced, report = _best_of(
+        pt, FUNNEL_SCANS,
+        lambda r, rep: r.n_round_trips * 3600.0 / rep.wall_time_s,
+        n_timed=2,
+    )
+    return rate, reduced.n_round_trips, report, pt
+
+
 def _variational_run():
     """BASELINE config 4: stabilized two-leg variational PT (Gaussian
     variational reference fit jointly with tempering). North-star rate for
@@ -363,6 +397,7 @@ def main() -> None:
     am_value, am_report = _automala_run()
     mxu_base = _automala_mxu_baseline()
     mxu_value, mxu_tflops, mxu_report = _automala_mxu_run()
+    fn_rate, fn_trips, fn_report, fn_pt = _funnel_run()
     var_rate, var_restarts, var_report, var_pt = _variational_run()
     mesh_value, mesh_report = _mesh_run()
     print(
@@ -381,6 +416,7 @@ def main() -> None:
                     100.0 * mxu_tflops / V5E_BF16_PEAK_TFLOPS, 1
                 ),
                 "automala_mxu_vs_host_numpy": round(mxu_value / mxu_base, 1),
+                "funnel_round_trips_per_hour": round(fn_rate, 1),
                 "variational_restarts_per_hour": round(var_rate, 1),
                 "mesh_evals_per_sec_per_chip": round(mesh_value, 1),
             }
@@ -404,6 +440,9 @@ def main() -> None:
         f"host-numpy baseline {mxu_base:.0f} evals/s)\n"
         f"# config1 with recorders off: {off_report.n_scans} scans in "
         f"{off_report.wall_time_s:.2f}s\n"
+        f"# funnel (config 3): {FUNNEL_CHAINS} chains x {FUNNEL_REPLICATES} "
+        f"ladders, {fn_report.n_scans}-scan round in {fn_report.wall_time_s:.2f}s "
+        f"-> {fn_trips} trips, adapted barrier {fn_pt.global_barrier:.2f}\n"
         f"# variational two-leg: {VAR_CHAINS}+{VAR_CHAINS} chains x "
         f"{VAR_REPLICATES} ladders, {var_report.n_scans}-scan round in "
         f"{var_report.wall_time_s:.2f}s -> {var_restarts} restarts, "
