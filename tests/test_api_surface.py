@@ -47,7 +47,7 @@ def test_inputs_fields_match_reference():
         "reference", "variational", "checkpoint", "checked_round", "record",
         "explorer", "extractor", "show_report", "extended_traces",
         # TPU-native
-        "n_replicates", "mesh", "swap_graph", "profile_round",
+        "n_replicates", "mesh", "swap_graph", "profile_round", "dtype",
     ]:
         assert name in fields, name
 

@@ -283,3 +283,47 @@ def test_row_vector_decl_in_transformed_block_and_minmax_reduction():
     lp = float(t.log_density(x))
     np.testing.assert_allclose(lp, -0.5 * float(jnp.sum(x * x)), rtol=1e-6)
     assert "z[0]" in t.sample_names()
+
+
+@needs_ref
+@pytest.mark.slow
+def test_gradients_match_finite_differences_all_models():
+    """Adversarial net over the whole evaluator: jax.grad of every reference
+    model's compiled density matches central finite differences at random
+    points (catches any mis-blended where/mask in the traced control flow)."""
+    datas = {
+        "mvn": {"dim": 3, "precision": 2.0},
+        "unid": {"n_trials": 100, "n_successes": 50},
+        "funnel": {"dim": 4, "scale": 1.0},
+        "banana": {"dim": 3, "scale": 1.0},
+        "bernoulli": load_stan_data(f"{REF_STAN}/bernoulli.data.json"),
+        "eight_schools_centered": load_stan_data(f"{REF_STAN}/eight_schools.json"),
+        "eight_schools_noncentered": load_stan_data(f"{REF_STAN}/eight_schools.json"),
+        "mRNA": {
+            "N": 5,
+            "ts": np.linspace(0.5, 10, 5),
+            "ys": np.sin(np.linspace(0.5, 10, 5)),
+        },
+    }
+    key = jax.random.key(11)
+    for name, data in datas.items():
+        t = stan_target(file=f"{REF_STAN}/{name}.stan", data=data)
+        gf = jax.jit(jax.grad(t.log_density))
+        for i in range(3):
+            x = 0.5 * jax.random.normal(
+                jax.random.fold_in(key, hash(name) % 1000 + i), (t.dim,)
+            )
+            g = np.asarray(gf(x))
+            eps = 1e-3
+            fd = np.array([
+                (
+                    float(t.log_density(x.at[j].add(eps)))
+                    - float(t.log_density(x.at[j].add(-eps)))
+                ) / (2 * eps)
+                for j in range(t.dim)
+            ])
+            scale = np.maximum(1.0, np.abs(fd))
+            np.testing.assert_allclose(
+                g / scale, fd / scale, atol=5e-2,
+                err_msg=f"{name} point {i}",
+            )
