@@ -7,8 +7,18 @@ ladders per chip). Also measured:
     PROVISIONED ladder (n_chains = 16 ≈ 2Λ + 2 for this target's barrier
     Λ ≈ 7.2; reference rule of thumb, docs/src/pt.md) with a 1024-scan
     steady-state round, pooled across the replicate ladders;
-  * automala_logreg_evals_per_sec — BASELINE config 2 (Bayesian logistic
-    regression with AutoMALA), counting leapfrog gradient evaluations.
+  * automala_logreg_evals_per_sec — BASELINE config 2a (small Bayesian
+    logistic regression with AutoMALA), counting leapfrog gradient
+    evaluations; automala_mxu_* — config 2b at MXU scale (n=4096, d=256,
+    queued search) with TFLOP/s and % of the v5e bf16 matmul peak;
+  * funnel_round_trips_per_hour — config 3 (Neal's funnel, barrier-tuned);
+  * variational_restarts_per_hour — config 4 (two-leg stabilized PT);
+  * mesh_evals_per_sec_per_chip — config 1 under shard_map (config 5's
+    single-chip stand-in; multi-chip evidence lives in the dryrun artifact,
+    tests/test_sharded.py, tests/test_multihost.py, and
+    tools/collective_scaling.py);
+  * evals_per_sec_recorders_off — config 1 with every gateable recorder
+    disabled (Inputs.record gating).
 
 Counting semantics (stated per VERDICT r2): an "eval" is one algorithmic
 log-density query as the reference counts them (explorer_n_steps) — for the
