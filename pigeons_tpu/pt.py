@@ -1149,6 +1149,17 @@ class PT:
                 "add 'online' to compute mean()/var()"
             )
 
+    def sample_names(self) -> list:
+        """Column names of :meth:`sample_array` (reference
+        ``sample_names(pt)``, ``src/pt/state.jl:60``): the target's names
+        when it declares them, else ``x[i]``; the last column is always the
+        interpolated log density."""
+        target = self.inputs.target
+        if self.inputs.extractor is None and hasattr(target, "sample_names"):
+            return list(target.sample_names())
+        d = self._extract_dim - 1
+        return [f"x[{i}]" for i in range(d)] + ["log_density"]
+
     def mean(self) -> np.ndarray:
         self._require_online()
         return self.reduced.online_mean[:-1]

@@ -62,3 +62,23 @@ def test_diagnostics():
     iid = np.random.default_rng(0).normal(size=2000)
     assert ess(iid) > 500  # Geyer estimator is conservative on finite iid samples
     assert split_rhat(np.random.default_rng(1).normal(size=(4, 500))) < 1.02
+
+
+def test_pt_sample_names():
+    """Reference ``sample_names(pt)`` (``src/pt/state.jl:60``): target-
+    declared names when available, positional x[i] fallback, log_density
+    last."""
+    import pigeons_tpu as pg
+
+    pt = pg.pigeons(
+        target=pg.toy_mvn_target(3), n_chains=3, n_rounds=2, seed=1,
+        show_report=False,
+    )
+    assert pt.sample_names() == ["x[0]", "x[1]", "x[2]", "log_density"]
+    pt2 = pg.pigeons(
+        target=pg.eight_schools(), n_chains=3, n_rounds=2, seed=1,
+        explorer=pg.SliceSampler(n_passes=1), show_report=False,
+    )
+    names = pt2.sample_names()
+    assert names[0] == "theta_trans[0]" and names[-1] == "log_density"
+    assert len(names) == pt2.sample_array().shape[1]
