@@ -327,3 +327,25 @@ def test_gradients_match_finite_differences_all_models():
                 g / scale, fd / scale, atol=5e-2,
                 err_msg=f"{name} point {i}",
             )
+
+
+@needs_ref
+def test_stan_target_checkpoints_and_resumes_bitwise(tmp_path):
+    """Stan targets serialize through the checkpoint pickler (the reference
+    needs a custom serializer for its native model handle,
+    ``interface.jl:34-49``; the compiled-AST front end pickles directly) and
+    resume recomputes bitwise."""
+    from pigeons_tpu.checkpoint import load_pt
+
+    t = stan_target(
+        file=f"{REF_STAN}/bernoulli.stan", data=f"{REF_STAN}/bernoulli.data.json"
+    )
+    pt = pigeons(
+        target=t, n_chains=4, n_rounds=4, seed=1, checkpoint=True,
+        checkpoint_folder=str(tmp_path / "run"), show_report=False,
+    )
+    again = load_pt(str(tmp_path / "run"), round_idx=3)
+    again.run_round()
+    np.testing.assert_array_equal(pt.sample_array(), again.sample_array())
+    q = again.inputs.target.constrained_samples(again)
+    assert abs(q["theta"].mean() - 0.25) < 0.08
