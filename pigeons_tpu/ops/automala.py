@@ -103,14 +103,16 @@ class AutoMALA(Explorer):
     def needs_online_moments(self) -> bool:
         return self.preconditioner.adapts
 
-    def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
+    def step_batched(self, keys, xs, lp0s, ld, betas, isvars, ref_params,
                      chain_params, scan_idx, ld_coord=None, coord_arrays=(),
                      compute_final_lp: bool = True) -> StepOut:
         """Whole-batch step with the compacted work-queue search (used by the
-        runtime when ``queued=True``); see :func:`_queued_search`."""
+        runtime when ``queued=True``); see :func:`_queued_search`. ``keys``
+        are the runtime's per-lane global-index keys, so the streams are
+        layout-invariant across device meshes."""
         del ld_coord, coord_arrays, compute_final_lp
         return _batched_step_impl(
-            self, key, xs, lp0s, ld, betas, isvars, ref_params, chain_params,
+            self, keys, xs, lp0s, ld, betas, isvars, ref_params, chain_params,
             scan_idx,
         )
 
@@ -395,16 +397,15 @@ def _queued_search(
     return exponent, evals
 
 
-def _batched_step_impl(explorer, key, X, lp0, ld, betas, isvar, ref_params,
+def _batched_step_impl(explorer, keys, X, lp0, ld, betas, isvar, ref_params,
                        chain_params, scan_idx):
     """Whole-batch AutoMALA step with the compacted work-queue search.
 
-    RNG streams per lane reproduce the vmapped per-replica path exactly
-    (keys_for + per-refresh fold_in + split(5)), so on one device with
-    n_replicates=1 the queued explorer's chains are identical to the
-    sequential explorer's up to matmul batch-shape rounding (tested)."""
-    from .. import rng as prng
-
+    ``keys`` are the runtime's per-lane keys (global replica index streams);
+    they reproduce the vmapped per-replica path exactly (per-refresh fold_in
+    + split(5)), so the queued explorer's chains are identical to the
+    sequential explorer's up to matmul batch-shape rounding (tested), and
+    sharded runs are bitwise identical to serial ones."""
     B, d = X.shape
     base_step = chain_params["step_size"]  # [B]
     std_devs = chain_params["std_devs"]  # [B, d]
@@ -414,8 +415,6 @@ def _batched_step_impl(explorer, key, X, lp0, ld, betas, isvar, ref_params,
     Wq = min(Wq, B)
     W_spec = max(1, explorer.window)  # in-queue speculation depth
     max_exponent = explorer.max_exponent
-
-    keys = prng.keys_for(key, jnp.arange(B))
 
     def vgrad_sub(Xs, ps, bs, ivs):
         def f(x, p, b, iv):

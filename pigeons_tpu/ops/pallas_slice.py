@@ -24,13 +24,21 @@ VMEM. Two kernels, picked by density structure:
    sampler and ~620 ms for the nested formulation.
 
 Shared mechanics: states processed as ``[rows, B]`` — coordinates on
-sublanes, lanes (replicas) on the 128-wide lane dimension; in-kernel PRNG
-(``pltpu.prng_*``) seeded per (scan, block); per-lane scalars as cheap
-``[1, B]`` rows.
+sublanes, lanes (replicas) on the 128-wide lane dimension; per-lane scalars
+as cheap ``[1, B]`` rows.
 
-The RNG stream differs from the XLA sampler (in-kernel PRNG vs threefry key
-folding) and between the two kernels (different draw orders), so runs are
-deterministic per implementation but not bitwise equal across
+In-kernel randomness is COUNTER-BASED and seeded per lane from the runtime's
+global-replica-index key streams (``rng.keys_for``): every draw is a pure
+function of ``(lane seed, coordinate row, iteration, slot)`` through a
+murmur3-style integer mixer, never of the device index, block decomposition,
+or position-in-block. A chain- or replicate-sharded run is therefore bitwise
+identical to its single-device twin — the kernel analogue of the reference's
+parallelism invariance (``docs/src/distributed.md:39-44``) — and interpret
+mode (CPU tests) draws the very same stream as the Mosaic TPU build.
+
+The stream still differs from the XLA sampler (different mixer and draw
+order) and between the two kernels, so runs are deterministic and
+layout-invariant per implementation but not bitwise equal across
 implementations. The kernels are used when the runtime can hand the explorer
 the whole batch (`step_batched`); per-lane `step` falls back to the XLA
 sampler (this class subclasses it), e.g. under a variational reference.
@@ -61,12 +69,33 @@ def _uniform_from_bits(bits):
     return i24.astype(jnp.float32) * jnp.float32(2**-24) + jnp.float32(2**-25)
 
 
+def _fmix32(h):
+    """murmur3's 32-bit finalizer: full-avalanche integer mixing out of
+    shifts/xors/low-multiplies only (no mulhi — Mosaic-friendly)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _hash_words(*words):
+    """Counter-based random bits from uint32 words (seed, coord, counter...):
+    chained murmur3 finalizer rounds. Purely elementwise, so the draw for one
+    (lane, coordinate, iteration) is independent of every other element —
+    the kernel's layout-invariance anchor."""
+    h = jnp.uint32(0x9E3779B9)
+    for w in words:
+        h = _fmix32(h ^ w)
+    return h
+
+
 def _sweep_kernel(
     # prefetch/scalar inputs
-    seeds_ref,  # SMEM [n_blocks] int32
     nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
-    # tensor inputs: x, betas, isvar, then hoisted density constants
-    # (closure_convert), then outputs + scratch
+    # tensor inputs: x, betas, isvar, per-lane seeds, then hoisted density
+    # constants (closure_convert), then outputs + scratch
     *refs,
     lp_block,  # ([d, BLK], [1, BLK], [1, BLK], consts) -> [1, BLK]
     coord_block=None,  # ([1,BLK] v, [1,BLK] c, betas, isvar, consts) -> [1,BLK]
@@ -77,22 +106,20 @@ def _sweep_kernel(
     p_dbl: int,
     n_passes: int,
     max_iter: int,
-    use_threefry: bool = False,  # interpret mode: the native PRNG is a stub
 ):
     n_consts = len(const_shapes)
-    x_ref, betas_ref, isvar_ref = refs[0], refs[1], refs[2]
-    const_refs = refs[3:3 + n_consts]
-    xout_ref, lp_ref, stats_ref, row_scr = refs[3 + n_consts:]
+    x_ref, betas_ref, isvar_ref, seed_ref = refs[0], refs[1], refs[2], refs[3]
+    const_refs = refs[4:4 + n_consts]
+    xout_ref, lp_ref, stats_ref, row_scr = refs[4 + n_consts:]
     consts = [
         r[:, :].reshape(shp).astype(dt)
         for r, (shp, dt) in zip(const_refs, const_shapes)
     ]
 
     blk_idx = pl.program_id(0)
-    if use_threefry:
-        base_key = jax.random.key(seeds_ref[blk_idx])
-    else:
-        pltpu.prng_seed(seeds_ref[blk_idx])
+    # layout-invariant counter-based RNG: each lane's stream is a pure
+    # function of its globally-derived seed and its own iteration counter
+    seed_u = pltpu.bitcast(seed_ref[:, :], jnp.uint32)  # [1, B]
     xout_ref[:, :] = x_ref[:, :]
     x = xout_ref  # sweep mutates the output block in place
 
@@ -126,7 +153,7 @@ def _sweep_kernel(
         lp_cur0, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz,
         fz, fz, fz, fz,
         phase0, iz, iz, iz,
-        jnp.zeros((), jnp.int32),  # iteration counter (threefry stream index)
+        jnp.zeros((), jnp.uint32),  # per-lane draw counter (iteration index)
     )
 
     def cond(st):
@@ -137,19 +164,11 @@ def _sweep_kernel(
          Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals, base,
          phase, j, K, n_shr, it) = st
 
-        if use_threefry:
-            u4 = jax.random.uniform(
-                jax.random.fold_in(base_key, it), (4, B),
-                minval=jnp.float32(2**-25), maxval=jnp.float32(1.0),
-            )
-            u_init, u_z = u4[0:1, :], u4[1:2, :]
-            u_side, u_shr = u4[2:3, :], u4[3:4, :]
-        else:
-            bits = pltpu.bitcast(pltpu.prng_random_bits((4, B)), jnp.uint32)
-            u_init = _uniform_from_bits(bits[0:1, :])
-            u_z = _uniform_from_bits(bits[1:2, :])
-            u_side = _uniform_from_bits(bits[2:3, :])
-            u_shr = _uniform_from_bits(bits[3:4, :])
+        ctr = it * jnp.uint32(4)
+        u_init = _uniform_from_bits(_hash_words(seed_u, ctr))
+        u_z = _uniform_from_bits(_hash_words(seed_u, ctr + jnp.uint32(1)))
+        u_side = _uniform_from_bits(_hash_words(seed_u, ctr + jnp.uint32(2)))
+        u_shr = _uniform_from_bits(_hash_words(seed_u, ctr + jnp.uint32(3)))
         e_z = -jnp.log(u_z)
 
         c = j % D
@@ -268,7 +287,7 @@ def _sweep_kernel(
 
         return (lp_cur, old, z, L, R, lpL, lpR, Lb, Rb, cand, lp_cand,
                 Lh, Rh, lpLh, lpRh, acc_sum, acc_n, n_evals, base,
-                phase, j, K, n_shr, it + 1)
+                phase, j, K, n_shr, it + jnp.uint32(1))
 
     st = jax.lax.while_loop(cond, body, init)
     if coord_block is None:
@@ -285,9 +304,8 @@ def _sweep_kernel(
 
 def _banded_sweep_kernel(
     # prefetch/scalar inputs
-    seeds_ref,  # SMEM [n_blocks * n_bands] int32
     nact_ref,  # SMEM [1] int32: number of real (non-padding) lanes
-    *refs,  # x band, betas, isvar, hoisted consts, coord bands, outputs, scratch
+    *refs,  # x band, betas, isvar, seeds, hoisted consts, coord bands, outputs, scratch
     coord_eval,  # ([S,B] v, [S,B] c, [S,B] b, [S,B] iv, consts, cvals) -> [S,B]
     const_shapes=(),
     n_coord: int = 0,  # per-coordinate parameter arrays, banded [S, 1] blocks
@@ -298,7 +316,6 @@ def _banded_sweep_kernel(
     p_dbl: int,
     n_passes: int,
     max_iter: int,
-    use_threefry: bool = False,
 ):
     """Separable-density sweep, banded: every (coordinate, lane) element runs
     its OWN 1-D slice-sampling state machine, ``band`` coordinate rows at a
@@ -327,10 +344,10 @@ def _banded_sweep_kernel(
     bands' coordinates); the caller re-evaluates it in one fused XLA pass.
     """
     n_consts = len(const_shapes)
-    x_ref, betas_ref, isvar_ref = refs[0], refs[1], refs[2]
-    const_refs = refs[3:3 + n_consts]
-    coord_refs = refs[3 + n_consts:3 + n_consts + n_coord]
-    xout_ref, stats_ref, scr = refs[3 + n_consts + n_coord:]
+    x_ref, betas_ref, isvar_ref, seed_ref = refs[0], refs[1], refs[2], refs[3]
+    const_refs = refs[4:4 + n_consts]
+    coord_refs = refs[4 + n_consts:4 + n_consts + n_coord]
+    xout_ref, stats_ref, scr = refs[4 + n_consts + n_coord:]
     consts = [
         r[:, :].reshape(shp).astype(dt)
         for r, (shp, dt) in zip(const_refs, const_shapes)
@@ -342,11 +359,6 @@ def _banded_sweep_kernel(
 
     blk_idx = pl.program_id(0)
     band_idx = pl.program_id(1)
-    n_bands = pl.num_programs(1)
-    if use_threefry:
-        base_key = jax.random.key(seeds_ref[blk_idx * n_bands + band_idx])
-    else:
-        pltpu.prng_seed(seeds_ref[blk_idx * n_bands + band_idx])
     xout_ref[:, :] = x_ref[:, :]
     x = xout_ref  # per-element commits mutate the output band in place
 
@@ -355,6 +367,13 @@ def _banded_sweep_kernel(
     lane2d = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1) + blk_idx * B
     c2d = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) + band_idx * S
     live = (lane2d < nact_ref[0]) & (c2d < dim)
+    # per-(lane, coordinate) seed: global lane seed mixed with the GLOBAL
+    # coordinate row — never block/band position, so any decomposition of the
+    # batch draws the same per-element stream
+    seed2d = _fmix32(
+        pltpu.repeat(pltpu.bitcast(seed_ref[:, :], jnp.uint32), S, axis=0)
+        ^ (pltpu.bitcast(c2d, jnp.uint32) * jnp.uint32(0x85EBCA77))
+    )
 
     betas2d = pltpu.repeat(betas_ref[:, :], S, axis=0)
     isvar2d = pltpu.repeat(isvar_ref[:, :], S, axis=0)
@@ -376,7 +395,7 @@ def _banded_sweep_kernel(
         fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz, fz,
         fz, fz, fz,
         phase0, iz, iz, iz,
-        jnp.zeros((), jnp.int32),  # iteration counter (threefry stream index)
+        jnp.zeros((), jnp.uint32),  # per-element draw counter (iteration index)
     )
 
     def cond(st):
@@ -387,16 +406,9 @@ def _banded_sweep_kernel(
          acc_sum, acc_n, n_evals,
          phase, pass_i, K, n_shr, it) = st
 
-        if use_threefry:
-            u2 = jax.random.uniform(
-                jax.random.fold_in(base_key, it), (2 * S, B),
-                minval=jnp.float32(2**-25), maxval=jnp.float32(1.0),
-            )
-            uA, uB = u2[:S, :], u2[S:, :]
-        else:
-            bits = pltpu.bitcast(pltpu.prng_random_bits((2 * S, B)), jnp.uint32)
-            uA = _uniform_from_bits(bits[:S, :])
-            uB = _uniform_from_bits(bits[S:, :])
+        ctr = it * jnp.uint32(2)
+        uA = _uniform_from_bits(_hash_words(seed2d, ctr))
+        uB = _uniform_from_bits(_hash_words(seed2d, ctr + jnp.uint32(1)))
 
         is_enter = phase == ENTER
         active = phase != DONE
@@ -496,7 +508,8 @@ def _banded_sweep_kernel(
         ).astype(jnp.int32)
 
         return (z, L, R, lcL, lcR, Lb, Rb, cand, Lh, Rh, lcLh, lcRh,
-                acc_sum, acc_n, n_evals, phase, pass_i, K, n_shr, it + 1)
+                acc_sum, acc_n, n_evals, phase, pass_i, K, n_shr,
+                it + jnp.uint32(1))
 
     st = jax.lax.while_loop(cond, body, init)
     # the stats block (0, i) stays VMEM-resident across the band steps of one
@@ -507,7 +520,9 @@ def _banded_sweep_kernel(
             jnp.sum(st[12], axis=0, keepdims=True),
             jnp.sum(st[13], axis=0, keepdims=True),
             jnp.sum(st[14], axis=0, keepdims=True),
-            jnp.broadcast_to(st[19].astype(jnp.float32), (1, B)) + fz[0:1, :],
+            jnp.broadcast_to(
+                st[19].astype(jnp.int32).astype(jnp.float32), (1, B)
+            ) + fz[0:1, :],
         ],
         axis=0,
     )
@@ -539,10 +554,10 @@ class SliceSamplerPallas(SliceSampler):
                  parallel_coords: bool = True,
                  band: int = 8,
                  parallel_blk: int = 2560,
-                 integer_mask=None):
+                 integer_mask=None, binary_mask=None):
         super().__init__(
             w=w, p=p, n_passes=n_passes, max_iter=max_iter,
-            integer_mask=integer_mask,
+            integer_mask=integer_mask, binary_mask=binary_mask,
         )
         self.interpret = interpret
         self.block_bytes = int(block_bytes)
@@ -559,9 +574,10 @@ class SliceSamplerPallas(SliceSampler):
 
     @property
     def batched(self) -> bool:
-        # integer/ordinal coordinates run through the XLA sampler (the
-        # Mosaic kernels implement the continuous draw conventions only)
-        return self.integer_mask is None
+        # integer/ordinal and Bool coordinates run through the XLA sampler
+        # (the Mosaic kernels implement the continuous draw conventions only;
+        # Bool coordinates need the in-sampler exact Gibbs draw)
+        return self.integer_mask is None and self.binary_mask is None
 
     def _use_interpret(self) -> bool:
         if self.interpret is not None:
@@ -579,11 +595,15 @@ class SliceSamplerPallas(SliceSampler):
         leaves = _jax.tree.leaves(ref_params)
         return bool(leaves) and all(hasattr(l, "shape") for l in leaves)
 
-    def step_batched(self, key, xs, lp0s, ld, betas, isvars, ref_params,
+    def step_batched(self, keys, xs, lp0s, ld, betas, isvars, ref_params,
                      chain_params, scan_idx, ld_coord=None, coord_arrays=(),
                      compute_final_lp: bool = True) -> StepOut:
         """Run the whole-sweep kernel over the replica batch.
 
+        ``keys [B]`` are the runtime's per-lane PRNG keys, derived by GLOBAL
+        replica index (``rng.keys_for``); the kernel reduces each to a uint32
+        seed and draws counter-based bits from it, so the stream is bitwise
+        layout-invariant across any device/block decomposition.
         ``xs [B, dim]``, ``lp0s/betas/isvars [B]``; ``ld(x, beta, isvar,
         ref_params) -> scalar`` is the traced interpolated log density.
         ``ld_coord(v, c, beta, isvar, ref_params, *coord_vals) -> scalar``,
@@ -635,11 +655,14 @@ class SliceSamplerPallas(SliceSampler):
         isvar_p = jnp.zeros((1, b_pad), jnp.float32).at[0, :B].set(
             jnp.asarray(isvars, jnp.float32)
         )
-        seeds = jax.vmap(
-            lambda i: jax.random.randint(
-                jax.random.fold_in(key, i), (), 0, np.int32(2**31 - 1), jnp.int32
+        # one uint32 seed per lane from its global-index key; stored as an
+        # int32 [1, b_pad] row (Mosaic VMEM carries no uint32 inputs)
+        lane_seeds = jax.vmap(
+            lambda k: jax.lax.bitcast_convert_type(
+                jax.random.bits(k, (), jnp.uint32), jnp.int32
             )
-        )(jnp.arange(n_blocks * n_bands))
+        )(keys)
+        seeds_p = jnp.zeros((1, b_pad), jnp.int32).at[0, :B].set(lane_seeds)
         nact = jnp.asarray([B], jnp.int32)
 
         # Pallas kernels may not capture array constants (model data the
@@ -741,14 +764,16 @@ class SliceSamplerPallas(SliceSampler):
                 p_dbl=self.p,
                 n_passes=self.n_passes,
                 max_iter=self.max_iter,
-                use_threefry=interpret,
             )
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=1,
                 grid=(n_blocks, n_bands),
                 in_specs=[
                     pl.BlockSpec(
                         (S, blk), lambda i, g, *_: (g, i), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, blk), lambda i, g, *_: (0, i), memory_space=pltpu.VMEM
                     ),
                     pl.BlockSpec(
                         (1, blk), lambda i, g, *_: (0, i), memory_space=pltpu.VMEM
@@ -790,7 +815,7 @@ class SliceSamplerPallas(SliceSampler):
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=pltpu.InterpretParams() if interpret else False,
-            )(seeds, nact, x_db, betas_p, isvar_p, *consts2d, *coord2d)
+            )(nact, x_db, betas_p, isvar_p, seeds_p, *consts2d, *coord2d)
             x_new = x_out[:dim, :B].T
             # the kernel never sees the joint density (a band only holds its
             # own coordinates); recompute it in one fused XLA pass — unless
@@ -825,13 +850,13 @@ class SliceSamplerPallas(SliceSampler):
             p_dbl=self.p,
             n_passes=self.n_passes,
             max_iter=self.max_iter,
-            use_threefry=interpret,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((dim, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             ]
@@ -860,7 +885,7 @@ class SliceSamplerPallas(SliceSampler):
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(seeds, nact, x_db, betas_p, isvar_p, *consts2d)
+        )(nact, x_db, betas_p, isvar_p, seeds_p, *consts2d)
 
         return StepOut(
             x=x_out[:, :B].T,

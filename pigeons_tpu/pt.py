@@ -139,13 +139,15 @@ def _make_round_kernel(
     v_ld2 = jax.vmap(ld2, in_axes=(0, 0, 0, 0, 0, None))
 
     def _explore(
-        states, chain_loc, k_explore, keys_gidx, lp_before, betas, is_var,
+        states, chain_loc, lane_keys, lp_before, betas, is_var,
         exp_state, ref_params, scan_idx
     ):
         """Exploration over a (possibly replicate-flattened) replica batch.
-        ``keys_gidx`` are the global indices used to derive per-replica RNG
-        streams (layout-invariant, reference ``replicas.jl:87-98``); batched
-        explorers draw inside their own kernel from ``k_explore`` instead.
+        ``lane_keys`` are per-replica PRNG keys derived by GLOBAL replica
+        index (layout-invariant, reference ``replicas.jl:87-98``); batched
+        explorers receive the same per-lane keys and must keep their streams
+        a pure function of them — never of the device index or block layout —
+        so sharded runs stay bitwise identical to their serial twins.
         ``lp_before`` is carried through the scan (the post-swap density of
         the previous scan) instead of being recomputed."""
         betas_loc = betas[chain_loc]
@@ -153,22 +155,13 @@ def _make_round_kernel(
         chain_params = jax.tree.map(lambda a: a[chain_loc], exp_state)
 
         if use_batched_explorer:
-            # under a chain-sharded mesh every device runs the kernel on its
-            # own lane block with the SAME replicated scan key; salt it with
-            # the device index so shard streams are distinct (the kernel's
-            # in-block PRNG cannot use per-lane global-index streams)
-            k_dev = k_explore if axis is None else jax.random.fold_in(
-                k_explore, jax.lax.axis_index(axis)
-            )
             cv = coord_arrays_fn(ref_params) if coord_arrays_fn is not None else ()
             out = explorer.step_batched(
-                k_dev, states, lp_before, ld, betas_loc, isvar_loc,
+                lane_keys, states, lp_before, ld, betas_loc, isvar_loc,
                 ref_params, chain_params, scan_idx, ld_coord=ld_coord,
                 coord_arrays=cv, compute_final_lp=False,
             )
         else:
-            keys = rng.keys_for(k_explore, keys_gidx)
-
             def one_step(key, x, lp0, beta, isvar, cp):
                 return explorer.step(
                     key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params),
@@ -176,7 +169,7 @@ def _make_round_kernel(
                 )
 
             out = jax.vmap(one_step)(
-                keys, states, lp_before, betas_loc, isvar_loc, chain_params
+                lane_keys, states, lp_before, betas_loc, isvar_loc, chain_params
             )
         return out
 
@@ -380,8 +373,8 @@ def _make_round_kernel(
         k_explore = rng.scan_key(master_key, round_idx, scan_idx, rng.EXPLORE)
         k_iid = rng.scan_key(master_key, round_idx, scan_idx, rng.IID)
         out = _explore(
-            states, chain_loc, k_explore, gidx, lp_cur, betas, is_var,
-            exp_state, ref_params, scan_idx
+            states, chain_loc, rng.keys_for(k_explore, gidx), lp_cur, betas,
+            is_var, exp_state, ref_params, scan_idx
         )
         x_after = out.x.astype(states.dtype)
         if use_iid_reference:
@@ -419,27 +412,16 @@ def _make_round_kernel(
         k_iid_r = jax.vmap(
             lambda k: rng.scan_key(k, round_idx, scan_idx, rng.IID)
         )(master_keys)
-        if use_batched_explorer:
-            out = _explore(
-                states, chain_flat, k_explore_r[0], None, lp_cur, betas,
-                is_var, exp_state, ref_params, scan_idx
-            )
-        else:
-            keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_explore_r)
-            flat_keys = keys.reshape((R * n,) + keys.shape[2:])
-            betas_loc = betas[chain_flat]
-            isvar_loc = is_var[chain_flat]
-            chain_params = jax.tree.map(lambda a: a[chain_flat], exp_state)
-
-            def one_step(key, x, lp0, beta, isvar, cp):
-                return explorer.step(
-                    key, x, lp0, lambda xx: ld(xx, beta, isvar, ref_params),
-                    beta, cp, scan_idx
-                )
-
-            out = jax.vmap(one_step)(
-                flat_keys, states, lp_cur, betas_loc, isvar_loc, chain_params
-            )
+        # per-lane keys exactly as each standalone per-ladder run derives
+        # them (keys_for over the ladder's own scan key) — batched explorers
+        # included, so flat-batch AND sharded runs match the per-ladder
+        # formulation's streams
+        keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_explore_r)
+        flat_keys = keys.reshape((R * n,) + keys.shape[2:])
+        out = _explore(
+            states, chain_flat, flat_keys, lp_cur, betas,
+            is_var, exp_state, ref_params, scan_idx
+        )
         x_after = out.x.astype(states.dtype)
         if use_iid_reference:
             iid_keys = jax.vmap(lambda k: rng.keys_for(k, gidx))(k_iid_r)
@@ -1152,11 +1134,33 @@ class PT:
     def sample_names(self) -> list:
         """Column names of :meth:`sample_array` (reference
         ``sample_names(pt)``, ``src/pt/state.jl:60``): the target's names
-        when it declares them, else ``x[i]``; the last column is always the
-        interpolated log density."""
+        when it declares them AND they match the array's width, else
+        ``x[i]``; the last column is always the interpolated log density.
+
+        Targets whose ``sample_names`` covers transformed parameters or
+        generated quantities (the Stan frontend) are asked for the bare
+        parameter names (``include_tp=False, include_gq=False``), since
+        ``sample_array`` holds the unconstrained parameter vector only; a
+        name list that still disagrees with the column count falls back to
+        positional labels rather than mislabeling columns."""
         target = self.inputs.target
-        if self.inputs.extractor is None and hasattr(target, "sample_names"):
-            return list(target.sample_names())
+        if self.inputs.extractor is None:
+            # targets distinguishing unconstrained-coordinate labels (the
+            # Stan frontend's `theta_unc[i]`) report those — sample_array is
+            # in unconstrained space
+            if hasattr(target, "unconstrained_sample_names"):
+                names = list(target.unconstrained_sample_names())
+                if len(names) == self._extract_dim:
+                    return names
+            elif hasattr(target, "sample_names"):
+                try:
+                    names = list(
+                        target.sample_names(include_tp=False, include_gq=False)
+                    )
+                except TypeError:
+                    names = list(target.sample_names())
+                if len(names) == self._extract_dim:
+                    return names
         d = self._extract_dim - 1
         return [f"x[{i}]" for i in range(d)] + ["log_density"]
 

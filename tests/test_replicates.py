@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from pigeons_tpu import Inputs, PT, SliceSampler, SliceSamplerPallas, toy_mvn_target
+from pigeons_tpu import rng as prng
 
 
 def test_replicates_pool_moments():
@@ -65,7 +66,8 @@ def test_pallas_kernel_single_sweep_interpret():
     betas = jnp.linspace(0.0, 1.0, B)
     lp0 = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(xs, betas)
     out = sl.step_batched(
-        jax.random.key(0), xs, lp0, ld, betas, jnp.zeros(B), (), (), 1
+        prng.keys_for(jax.random.key(0), jnp.arange(B)), xs, lp0, ld, betas,
+        jnp.zeros(B), (), (), 1
     )
     lp_direct = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(out.x, betas)
     np.testing.assert_allclose(np.asarray(out.lp), np.asarray(lp_direct), atol=1e-5)
@@ -92,7 +94,8 @@ def test_pallas_kernel_coord_delta_sweep_interpret():
     betas = jnp.linspace(0.0, 1.0, B)
     lp0 = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(xs, betas)
     out = sl.step_batched(
-        jax.random.key(0), xs, lp0, ld, betas, jnp.zeros(B), (), (), 1,
+        prng.keys_for(jax.random.key(0), jnp.arange(B)), xs, lp0, ld, betas,
+        jnp.zeros(B), (), (), 1,
         ld_coord=ld_coord,
     )
     lp_direct = jax.vmap(lambda x, b: ld(x, b, 0.0, ()))(out.x, betas)

@@ -104,10 +104,12 @@ def test_indivisible_replicate_count_rejected():
 
 @pytest.mark.slow
 def test_pallas_explorer_under_chain_sharded_mesh():
-    """The batched Pallas explorer runs inside shard_map: each device sweeps
-    its own lane block with a device-salted kernel RNG stream (the fast path
-    no longer falls back under a mesh; VERDICT r2 item 2). The pallas RNG is
-    not layout-invariant across device counts, so compare moments, not bits."""
+    """The batched Pallas explorer runs inside shard_map, and the kernel's
+    counter-based RNG is a pure function of each lane's GLOBAL replica-index
+    seed — never the device index or block layout — so the chain-sharded run
+    is bitwise identical to its single-device twin (the reference's
+    parallelism invariance, docs/src/distributed.md:39-44, now including the
+    fast path)."""
     from pigeons_tpu import SliceSamplerPallas
 
     def go(mesh):
@@ -128,31 +130,40 @@ def test_pallas_explorer_under_chain_sharded_mesh():
     sharded = go(replica_mesh(jax.devices()[:4]))
     assert np.isfinite(sharded.reports[-1].log_z_estimate)
     assert np.abs(sharded.mean()).max() < 0.35
-    # distinct per-device streams: the two devices' chains must not be
-    # correlated copies of each other (identical seeds would sample identical
-    # reference-chain moves)
     single = go(None)
-    assert np.isfinite(single.reports[-1].log_z_estimate)
+    assert np.array_equal(single.sample_array(), sharded.sample_array())
+    assert single.n_round_trips == sharded.n_round_trips
+    assert (
+        single.reports[-1].log_z_estimate == sharded.reports[-1].log_z_estimate
+    )
 
 
 @pytest.mark.slow
 def test_pallas_explorer_replicate_sharded_mesh():
-    """Replicate-axis sharding + the batched Pallas explorer: devices run
-    whole ladders with device-local kernel streams (keys are sharded)."""
+    """Replicate-axis sharding + the batched Pallas explorer: per-lane seeds
+    derive from each replicate's OWN master-key stream, so the sharded run is
+    bitwise identical to the unsharded flat-batch run."""
     from pigeons_tpu import SliceSamplerPallas
 
-    pt = PT(
-        Inputs(
-            target=toy_mvn_target(2),
-            n_chains=4,
-            n_rounds=5,
-            seed=13,
-            n_replicates=4,
-            explorer=SliceSamplerPallas(interpret=True, n_passes=1),
-            show_report=False,
-            mesh=replica_mesh(jax.devices()[:2]),
+    def go(mesh):
+        pt = PT(
+            Inputs(
+                target=toy_mvn_target(2),
+                n_chains=4,
+                n_rounds=5,
+                seed=13,
+                n_replicates=4,
+                explorer=SliceSamplerPallas(interpret=True, n_passes=1),
+                show_report=False,
+                mesh=mesh,
+            )
         )
-    )
-    pt.run()
+        pt.run()
+        return pt
+
+    pt = go(replica_mesh(jax.devices()[:2]))
     assert pt.sample_array().shape[0] == 2**5 * 4
     assert np.abs(pt.mean()).max() < 0.35
+    serial = go(None)
+    assert np.array_equal(serial.sample_array(), pt.sample_array())
+    assert serial.n_round_trips == pt.n_round_trips
