@@ -12,25 +12,47 @@ convention, so normalization constants are correct) that the runtime vmaps
 over all replicas and differentiates with ``jax.grad`` for AutoMALA — the
 reference's default explorer for Stan targets (``interface.jl:51``).
 
-Supported subset (covers every model in the reference's ``examples/stan/``:
-mvn, unid, funnel, banana, bernoulli, eight_schools_{non,}centered, mRNA):
+Supported language (covers every model in the reference's ``examples/stan/``
+plus the constrained-container hierarchy of applied Stan):
 
 * blocks: ``functions``, ``data``, ``transformed data``, ``parameters``,
   ``transformed parameters``, ``model``, ``generated quantities``;
-* types: ``int``, ``real``, ``vector[n]``, ``array[n] int/real`` with
-  ``<lower=..., upper=...>`` constraints (Stan's exp / scaled-logit
-  transforms with jacobian);
+* types: ``int``, ``real``, ``vector[n]``, ``row_vector[n]``,
+  ``matrix[m,n]`` with ``<lower=..., upper=...>`` constraints (Stan's
+  exp / scaled-logit transforms with jacobian), the constrained containers
+  ``simplex``, ``ordered``, ``positive_ordered``, ``unit_vector``,
+  ``corr_matrix``, ``cov_matrix``, ``cholesky_factor_corr``,
+  ``cholesky_factor_cov`` (Stan reference manual ch. 10 transforms, each
+  jacobian verified against the autodiff slogdet oracle in
+  tests/test_stan_lang.py), and ``array[...]`` of any of these;
 * statements: declarations (with initializers and comma lists), assignment
   (``=``, ``+=``, ``-=``, ``*=``, ``/=``), ``target +=``, vectorized ``~``
-  sampling statements, ``for (i in a:b)`` (unrolled at trace time — bounds
-  are data, XLA fuses the body), ``if``/``else`` with early ``return``
-  (compiled to ``where`` blending so traced conditions work), ternaries,
-  user-defined functions;
+  sampling statements, ``for (i in a:b)``, ``while``, ``break``,
+  ``continue`` (loops run at trace time — bounds/conditions are data; pure
+  data-likelihood ``for`` loops auto-vectorize so trace time stays O(1) in
+  the data length), ``if``/``else`` with early ``return`` (compiled to
+  ``where`` blending so traced conditions work), ternaries, user-defined
+  functions;
 * densities (all with their normalizing constants, as ``propto=false``):
-  normal, cauchy, beta, bernoulli, binomial, uniform, exponential,
-  lognormal, student_t + their ``_lpdf``/``_lpmf`` call forms;
-* math: ``exp log expm1 log1p sqrt square inv inv_logit logit pow abs fabs
-  fmin fmax sum mean dot_self softplus log1p_exp machine_precision lgamma``;
+  normal, std_normal, cauchy, beta, bernoulli(+_logit), binomial, uniform,
+  exponential, lognormal, student_t, gamma, inv_gamma, poisson,
+  double_exponential, logistic, chi_square, weibull, pareto,
+  neg_binomial_2, von_mises + the multivariate family — multi_normal
+  (+_cholesky, _prec), dirichlet, lkj_corr(+_cholesky) with the exact LKJ
+  normalizer, categorical(+_logit), multinomial, wishart, inv_wishart —
+  and their ``_lpdf``/``_lpmf`` call forms;
+* operators: Stan ``*`` is matrix algebra (matmul/dot/outer via the
+  row/column syntax), ``.*``/``./`` elementwise, ``\\`` left-division,
+  int ``/`` and ``%`` with C truncation semantics; range indexing
+  ``x[a:b]``, row/column slices, integer-array gathers (``beta[g]``);
+* math/matrix builtins: the scalar library plus ``rep_matrix diag_matrix
+  diagonal identity_matrix cholesky_decompose inverse determinant
+  log_determinant trace quad_form(_diag,_sym) diag_pre_multiply
+  diag_post_multiply multiply_lower_tri_self_transpose crossprod tcrossprod
+  mdivide_left(_tri_low) mdivide_right(_tri_low) dot_product
+  rows_dot_product columns_dot_product to_vector to_matrix col row head
+  tail segment append_row append_col softmax log_softmax cumulative_sum
+  sort_asc sort_desc sd variance prod distance norm1 norm2`` ...;
 * generated quantities ``*_rng`` functions (host-side extraction only).
 
 Deviations from BridgeStan (documented):
@@ -39,8 +61,12 @@ Deviations from BridgeStan (documented):
   likelihood). The reference uses the target itself (``interface.jl:86``),
   which makes the annealing path degenerate unless the user supplies a
   reference; passing ``reference=...`` or ``variational=...`` works here too.
-* loops unroll at trace time, so loop bounds must be data (true of all
-  reference example models).
+* loops run at trace time (auto-vectorized for pure data-likelihood bodies,
+  unrolled otherwise), so loop bounds must be data; parameter-dependent
+  ``while`` conditions fail loudly.
+* matrix containers serialize unconstrained coordinates in row-major
+  (diag-first for cov/cholesky) order rather than BridgeStan's column-major;
+  only our own sample_array/checkpoint layouts observe this.
 """
 
 from __future__ import annotations
@@ -65,7 +91,7 @@ _TOKEN_RE = re.compile(
     (?P<comment>//[^\n]*|\#[^\n]*|/\*.*?\*/)
   | (?P<num>((\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?))
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|==|!=|\+=|-=|\*=|/=|&&|\|\||[-+*/^<>=!?:;,(){}\[\]|~%.'])
+  | (?P<op>\.\*|\./|<=|>=|==|!=|\+=|-=|\*=|/=|&&|\|\||[-+*/^<>=!?:;,(){}\[\]|~%.'\\])
   | (?P<ws>\s+)
     """,
     re.VERBOSE | re.DOTALL,
@@ -102,6 +128,23 @@ _BLOCKS = (
 )
 
 _TYPES = ("int", "real", "vector", "row_vector", "matrix", "array", "void")
+
+# constrained container types (Stan reference manual ch. 10 transforms)
+_SPECIAL_VEC = ("simplex", "ordered", "positive_ordered", "unit_vector")
+_SPECIAL_MAT = (
+    "cov_matrix",
+    "corr_matrix",
+    "cholesky_factor_corr",
+    "cholesky_factor_cov",
+)
+_TYPE_KEYWORDS = (
+    "int",
+    "real",
+    "vector",
+    "row_vector",
+    "matrix",
+    "array",
+) + _SPECIAL_VEC + _SPECIAL_MAT
 
 
 class _Parser:
@@ -203,38 +246,60 @@ class _Parser:
             self.expect(">")
         return lower, upper
 
-    def parse_decl(self):
-        """One declaration statement, possibly with multiple names and
-        initializers; returns a list of ('decl', name, base, dims, lower,
-        upper, init) nodes."""
+    def _parse_type(self):
+        """One (possibly array-of-container) type spec ->
+        ``(kind, array_dims, elem_dims, lower, upper)``."""
         base = self.next()[1]
-        dims = []
-        lower = upper = None
+        array_dims = []
         if base == "array":
             self.expect("[")
-            dims.append(self.parse_expr())
+            array_dims.append(self.parse_expr())
             while self.accept(","):
-                dims.append(self.parse_expr())
+                array_dims.append(self.parse_expr())
             self.expect("]")
-            base = self.next()[1]  # element type: int / real
-            lower, upper = self._parse_constraint()
-            base = "array " + base
-        elif base in ("int", "real"):
+            base = self.next()[1]
+        lower = upper = None
+        elem_dims = []
+        if base in ("int", "real"):
             lower, upper = self._parse_constraint()
         elif base in ("vector", "row_vector"):
             lower, upper = self._parse_constraint()
             self.expect("[")
-            dims.append(self.parse_expr())
+            elem_dims.append(self.parse_expr())
+            self.expect("]")
+        elif base == "matrix":
+            lower, upper = self._parse_constraint()
+            self.expect("[")
+            elem_dims.append(self.parse_expr())
+            self.expect(",")
+            elem_dims.append(self.parse_expr())
+            self.expect("]")
+        elif base in _SPECIAL_VEC:
+            self.expect("[")
+            elem_dims.append(self.parse_expr())
+            self.expect("]")
+        elif base in _SPECIAL_MAT:
+            self.expect("[")
+            elem_dims.append(self.parse_expr())
+            if self.accept(","):
+                elem_dims.append(self.parse_expr())
             self.expect("]")
         else:
             raise SyntaxError(f"stan: unsupported type {base!r}")
+        return base, tuple(array_dims), tuple(elem_dims), lower, upper
+
+    def parse_decl(self):
+        """One declaration statement, possibly with multiple names and
+        initializers; returns a list of ('decl', name, kind, array_dims,
+        elem_dims, lower, upper, init) nodes."""
+        kind, adims, edims, lower, upper = self._parse_type()
         out = []
         while True:
             name = self.next()[1]
             init = None
             if self.accept("="):
                 init = self.parse_expr()
-            out.append(("decl", name, base, tuple(dims), lower, upper, init))
+            out.append(("decl", name, kind, adims, edims, lower, upper, init))
             if not self.accept(","):
                 break
         self.expect(";")
@@ -267,6 +332,21 @@ class _Parser:
             self.expect(")")
             body = self.parse_stmt()
             return [("for", var, lo, hi, body)]
+        if v == "while":
+            self.next()
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            body = self.parse_stmt()
+            return [("while", cond, body)]
+        if v == "break":
+            self.next()
+            self.expect(";")
+            return [("break",)]
+        if v == "continue":
+            self.next()
+            self.expect(";")
+            return [("continue",)]
         if v == "if":
             self.next()
             self.expect("(")
@@ -299,10 +379,8 @@ class _Parser:
             e = self.parse_expr()
             self.expect(";")
             return [("target", e)]
-        # declaration?
-        if v in ("int", "real", "vector", "row_vector", "array") and self.peek(1)[1] not in ("(", "["):
-            return self.parse_decl()
-        if v in ("vector", "row_vector", "array") and self.peek(1)[1] == "[":
+        # declaration? (type keywords are reserved words in Stan)
+        if v in _TYPE_KEYWORDS and self.peek(1)[1] != "(":
             return self.parse_decl()
         # expression statement: lvalue op expr | expr ~ dist(...)
         e = self.parse_expr()
@@ -376,7 +454,7 @@ class _Parser:
 
     def parse_mul(self):
         e = self.parse_unary()
-        while self.peek()[1] in ("*", "/", "%"):
+        while self.peek()[1] in ("*", "/", "%", ".*", "./", "\\"):
             op = self.next()[1]
             e = ("bin", op, e, self.parse_unary())
         return e
@@ -412,13 +490,28 @@ class _Parser:
             raise SyntaxError(f"stan: unexpected token {t[1]!r}")
         while self.peek()[1] == "[":
             self.next()
-            idx = [self.parse_expr()]
+            idx = [self.parse_index_item()]
             while self.accept(","):
-                idx.append(self.parse_expr())
+                idx.append(self.parse_index_item())
             self.expect("]")
             e = ("index", e, tuple(idx))
         if self.accept("'"):
             e = ("transpose", e)
+        return e
+
+    def parse_index_item(self):
+        """One multi-index item: expr | expr:expr | expr: | :expr | :
+        (Stan range indexing, reference manual 'multiple indexing')."""
+        if self.peek()[1] == ":":
+            self.next()
+            if self.peek()[1] in (",", "]"):
+                return ("irange", None, None)
+            return ("irange", None, self.parse_expr())
+        e = self.parse_expr()
+        if self.accept(":"):
+            if self.peek()[1] in (",", "]"):
+                return ("irange", e, None)
+            return ("irange", e, self.parse_expr())
         return e
 
 
@@ -511,11 +604,191 @@ def _lpdf_logistic(y, mu, sigma):
     return -z - jnp.log(sigma) - 2.0 * jax.nn.softplus(-z)
 
 
+def _lpdf_chi_square(y, nu):
+    return (
+        (0.5 * nu - 1.0) * jnp.log(y)
+        - 0.5 * y
+        - 0.5 * nu * math.log(2.0)
+        - jax.lax.lgamma(0.5 * nu)
+    )
+
+
+def _lpdf_weibull(y, alpha, sigma):
+    z = y / sigma
+    return jnp.log(alpha / sigma) + (alpha - 1.0) * jnp.log(z) - z**alpha
+
+
+def _lpdf_pareto(y, y_min, alpha):
+    return jnp.log(alpha) + alpha * jnp.log(y_min) - (alpha + 1.0) * jnp.log(y)
+
+
+def _lpmf_neg_binomial_2(n, mu, phi):
+    lchoose = (
+        jax.lax.lgamma(n + phi)
+        - jax.lax.lgamma(n + 1.0)
+        - jax.lax.lgamma(1.0 * phi)
+    )
+    return (
+        lchoose
+        + n * (jnp.log(mu) - jnp.log(mu + phi))
+        + phi * (jnp.log(phi) - jnp.log(mu + phi))
+    )
+
+
+def _lpdf_von_mises(y, mu, kappa):
+    # log I0 via the exponentially-scaled Bessel: log(i0e) + kappa
+    log_i0 = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
+    return kappa * jnp.cos(y - mu) - math.log(2.0 * math.pi) - log_i0
+
+
+# -- multivariate densities (match Stan's normalization, propto=false) ------
+
+
+def _betaln(a, b):
+    return (
+        jax.lax.lgamma(1.0 * a)
+        + jax.lax.lgamma(1.0 * b)
+        - jax.lax.lgamma(1.0 * (a + b))
+    )
+
+
+def _rows_of(y, K):
+    """View y as [n_rows, K] (Stan vectorizes multivariate densities over
+    arrays of vectors)."""
+    y = jnp.asarray(y)
+    return y.reshape(-1, K)
+
+
+def _lpdf_multi_normal_cholesky(y, mu, L):
+    K = L.shape[-1]
+    ys = _rows_of(y, K)
+    mus = jnp.broadcast_to(jnp.asarray(mu, ys.dtype).reshape(-1, K), ys.shape)
+    z = jax.scipy.linalg.solve_triangular(L, (ys - mus).T, lower=True)
+    n = ys.shape[0]
+    return (
+        -0.5 * jnp.sum(z * z)
+        - n * jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * K * math.log(2.0 * math.pi)
+    )
+
+
+def _lpdf_multi_normal(y, mu, Sigma):
+    return _lpdf_multi_normal_cholesky(y, mu, jnp.linalg.cholesky(Sigma))
+
+
+def _lpdf_multi_normal_prec(y, mu, Omega):
+    K = Omega.shape[-1]
+    ys = _rows_of(y, K)
+    mus = jnp.broadcast_to(jnp.asarray(mu, ys.dtype).reshape(-1, K), ys.shape)
+    d = ys - mus
+    n = ys.shape[0]
+    sign, logdet = jnp.linalg.slogdet(Omega)
+    quad = jnp.sum(d * (d @ Omega))
+    return -0.5 * quad + 0.5 * n * logdet - 0.5 * n * K * math.log(2.0 * math.pi)
+
+
+def _lpdf_dirichlet(theta, alpha):
+    alpha = jnp.asarray(alpha, jnp.result_type(theta, float))
+    return (
+        jnp.sum((alpha - 1.0) * jnp.log(theta))
+        + jax.lax.lgamma(jnp.sum(alpha))
+        - jnp.sum(jax.lax.lgamma(alpha))
+    )
+
+
+def _lkj_log_norm(K, eta):
+    """log of the LKJ normalizing constant c_K(eta): the density over
+    correlation matrices is c * det(R)^(eta-1). Via the C-vine construction
+    (Lewandowski-Kurowicka-Joe): the canonical partial correlations of row i
+    are iid scaled Beta(b_i, b_i) on (-1, 1) with b_i = eta + (K-1-i)/2, so
+    c is the product of those (2^(2b-1) B(b,b))^-1 normalizers. Verified by
+    quadrature/Monte-Carlo normalization tests (tests/test_stan_lang.py)."""
+    total = 0.0
+    for i in range(1, K):
+        b = eta + (K - 1 - i) / 2.0
+        total = total - (K - i) * (
+            (2.0 * b - 1.0) * math.log(2.0) + _betaln(b, b)
+        )
+    return total
+
+
+def _lpdf_lkj_corr_cholesky(L, eta):
+    K = L.shape[-1]
+    k = jnp.arange(1, K + 1)
+    pw = K - k + 2.0 * eta - 2.0  # exponent of L_kk (Stan math lkj_corr_cholesky)
+    diag = jnp.diagonal(L)
+    lp = jnp.sum(pw[1:] * jnp.log(diag[1:]))
+    return lp + _lkj_log_norm(K, eta)
+
+
+def _lpdf_lkj_corr(R, eta):
+    K = R.shape[-1]
+    sign, logdet = jnp.linalg.slogdet(R)
+    return (eta - 1.0) * logdet + _lkj_log_norm(K, eta)
+
+
+def _lpmf_categorical(y, theta):
+    yi = jnp.asarray(y, jnp.int32) - 1
+    return jnp.sum(jnp.log(theta)[yi])
+
+
+def _lpmf_categorical_logit(y, beta):
+    yi = jnp.asarray(y, jnp.int32) - 1
+    return jnp.sum(jax.nn.log_softmax(beta)[yi])
+
+
+def _lpmf_multinomial(y, theta):
+    y = jnp.asarray(y)
+    return (
+        jax.lax.lgamma(jnp.sum(y) + 1.0)
+        - jnp.sum(jax.lax.lgamma(y + 1.0))
+        + jnp.sum(y * jnp.log(theta))
+    )
+
+
+def _multigammaln(a, K):
+    j = jnp.arange(1, K + 1)
+    return K * (K - 1) / 4.0 * math.log(math.pi) + jnp.sum(
+        jax.lax.lgamma(a + (1.0 - j) / 2.0)
+    )
+
+
+def _lpdf_wishart(W, nu, S):
+    K = S.shape[-1]
+    _, logdet_w = jnp.linalg.slogdet(W)
+    _, logdet_s = jnp.linalg.slogdet(S)
+    tr = jnp.trace(jnp.linalg.solve(S, W))
+    return (
+        0.5 * (nu - K - 1.0) * logdet_w
+        - 0.5 * tr
+        - 0.5 * nu * K * math.log(2.0)
+        - 0.5 * nu * logdet_s
+        - _multigammaln(nu / 2.0, K)
+    )
+
+
+def _lpdf_inv_wishart(W, nu, S):
+    K = S.shape[-1]
+    _, logdet_w = jnp.linalg.slogdet(W)
+    _, logdet_s = jnp.linalg.slogdet(S)
+    tr = jnp.trace(jnp.linalg.solve(W, S))
+    return (
+        0.5 * nu * logdet_s
+        - 0.5 * (nu + K + 1.0) * logdet_w
+        - 0.5 * tr
+        - 0.5 * nu * K * math.log(2.0)
+        - _multigammaln(nu / 2.0, K)
+    )
+
+
 _DENSITIES = {
     "normal": _lpdf_normal,
+    "std_normal": lambda y: _lpdf_normal(y, 0.0, 1.0),
     "cauchy": _lpdf_cauchy,
     "beta": _lpdf_beta,
     "bernoulli": _lpmf_bernoulli,
+    "bernoulli_logit": lambda y, a: y * jax.nn.log_sigmoid(a)
+    + (1.0 - y) * jax.nn.log_sigmoid(-a),
     "binomial": _lpmf_binomial,
     "uniform": _lpdf_uniform,
     "exponential": _lpdf_exponential,
@@ -526,6 +799,27 @@ _DENSITIES = {
     "poisson": _lpmf_poisson,
     "double_exponential": _lpdf_double_exponential,
     "logistic": _lpdf_logistic,
+    "chi_square": _lpdf_chi_square,
+    "weibull": _lpdf_weibull,
+    "pareto": _lpdf_pareto,
+    "neg_binomial_2": _lpmf_neg_binomial_2,
+    "von_mises": _lpdf_von_mises,
+}
+
+# multivariate/container densities: the whole statement contributes ONE
+# scalar (no elementwise summation over y's last axis)
+_MV_DENSITIES = {
+    "multi_normal": _lpdf_multi_normal,
+    "multi_normal_cholesky": _lpdf_multi_normal_cholesky,
+    "multi_normal_prec": _lpdf_multi_normal_prec,
+    "dirichlet": _lpdf_dirichlet,
+    "lkj_corr_cholesky": _lpdf_lkj_corr_cholesky,
+    "lkj_corr": _lpdf_lkj_corr,
+    "categorical": _lpmf_categorical,
+    "categorical_logit": _lpmf_categorical_logit,
+    "multinomial": _lpmf_multinomial,
+    "wishart": _lpdf_wishart,
+    "inv_wishart": _lpdf_inv_wishart,
 }
 
 
@@ -559,10 +853,114 @@ _MATH_FNS = {
     "machine_precision": lambda: float(np.finfo(np.float64).eps),
     "lgamma": lambda x: jax.lax.lgamma(1.0 * x),
     "tgamma": lambda x: jnp.exp(jax.lax.lgamma(1.0 * x)),
-    "num_elements": lambda x: int(np.shape(x)[0]),
+    "num_elements": lambda x: int(np.prod(np.shape(x))) if np.shape(x) else 1,
     "rows": lambda x: int(np.shape(x)[0]),
+    "cols": lambda x: int(np.shape(x)[1]),
     "size": lambda x: int(np.shape(x)[0]),
     "rep_vector": lambda v, n: jnp.full((int(n),), v),
+    "rep_row_vector": lambda v, n: jnp.full((int(n),), v),
+    "rep_array": lambda v, *ns: jnp.full(tuple(int(n) for n in ns), v),
+    # -- matrix / linear algebra builtins (Stan functions reference ch. 5-7;
+    # the reference reaches these through BridgeStan's C++, interface.jl:120) --
+    "rep_matrix": lambda v, *ns: (
+        jnp.full((int(ns[0]), int(ns[1])), v)
+        if len(ns) == 2
+        else (
+            jnp.tile(jnp.asarray(v)[:, None], (1, int(ns[0])))
+            if getattr(v, "ndim", 0) == 1
+            else jnp.tile(jnp.asarray(v), (int(ns[0]), 1))
+        )
+    ),
+    "diag_matrix": lambda v: jnp.diag(jnp.asarray(v)),
+    "diagonal": lambda m: jnp.diagonal(m),
+    "identity_matrix": lambda n: jnp.eye(int(n)),
+    "cholesky_decompose": jnp.linalg.cholesky,
+    "inverse": jnp.linalg.inv,
+    "inverse_spd": jnp.linalg.inv,
+    "determinant": lambda m: jnp.linalg.det(m),
+    "log_determinant": lambda m: jnp.linalg.slogdet(m)[1],
+    "trace": jnp.trace,
+    "transpose": lambda m: jnp.transpose(m),
+    "quad_form": lambda A, B: (
+        jnp.asarray(B).T @ jnp.asarray(A) @ jnp.asarray(B)
+    ),
+    "quad_form_diag": lambda A, v: jnp.asarray(A)
+    * (jnp.asarray(v)[:, None] * jnp.asarray(v)[None, :]),
+    "quad_form_sym": lambda A, B: (
+        jnp.asarray(B).T @ jnp.asarray(A) @ jnp.asarray(B)
+    ),
+    "diag_pre_multiply": lambda v, m: jnp.asarray(v)[:, None] * jnp.asarray(m),
+    "diag_post_multiply": lambda m, v: jnp.asarray(m) * jnp.asarray(v)[None, :],
+    "multiply_lower_tri_self_transpose": lambda L: (
+        jnp.tril(L) @ jnp.tril(L).T
+    ),
+    "crossprod": lambda m: jnp.asarray(m).T @ jnp.asarray(m),
+    "tcrossprod": lambda m: jnp.asarray(m) @ jnp.asarray(m).T,
+    "mdivide_left_tri_low": lambda L, b: jax.scipy.linalg.solve_triangular(
+        jnp.tril(L), jnp.asarray(b), lower=True
+    ),
+    "mdivide_right_tri_low": lambda b, L: jax.scipy.linalg.solve_triangular(
+        jnp.tril(L).T, jnp.asarray(b).T, lower=False
+    ).T,
+    "mdivide_left": lambda A, b: jnp.linalg.solve(A, jnp.asarray(b)),
+    "mdivide_right": lambda b, A: jnp.linalg.solve(
+        jnp.asarray(A).T, jnp.asarray(b).T
+    ).T,
+    "dot_product": lambda a, b: jnp.dot(jnp.ravel(a), jnp.ravel(b)),
+    "rows_dot_product": lambda a, b: jnp.sum(
+        jnp.asarray(a) * jnp.asarray(b), axis=-1
+    ),
+    "columns_dot_product": lambda a, b: jnp.sum(
+        jnp.asarray(a) * jnp.asarray(b), axis=0
+    ),
+    "rows_dot_self": lambda a: jnp.sum(jnp.square(jnp.asarray(a)), axis=-1),
+    "columns_dot_self": lambda a: jnp.sum(jnp.square(jnp.asarray(a)), axis=0),
+    "to_vector": lambda m: jnp.ravel(jnp.asarray(m), order="F")
+    if getattr(m, "ndim", 0) == 2
+    else jnp.ravel(jnp.asarray(m)),
+    "to_row_vector": lambda m: jnp.ravel(jnp.asarray(m)),
+    "to_array_1d": lambda m: jnp.ravel(jnp.asarray(m)),
+    "to_matrix": lambda v, *ns: (
+        jnp.reshape(jnp.asarray(v), (int(ns[0]), int(ns[1])), order="F")
+        if len(ns) == 2
+        else jnp.asarray(v)
+    ),
+    "col": lambda m, j: jnp.asarray(m)[:, int(j) - 1]
+    if isinstance(j, (int, np.integer))
+    else jnp.asarray(m)[:, jnp.asarray(j, jnp.int32) - 1],
+    "row": lambda m, i: jnp.asarray(m)[int(i) - 1]
+    if isinstance(i, (int, np.integer))
+    else jnp.asarray(m)[jnp.asarray(i, jnp.int32) - 1],
+    "head": lambda v, n: jnp.asarray(v)[: int(n)],
+    "tail": lambda v, n: jnp.asarray(v)[-int(n):],
+    "segment": lambda v, i, n: jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(v), jnp.asarray(i, jnp.int32) - 1, int(n)
+    ),
+    "append_row": lambda a, b: jnp.concatenate(
+        [jnp.atleast_1d(jnp.asarray(a, jnp.result_type(a, b, float))),
+         jnp.atleast_1d(jnp.asarray(b, jnp.result_type(a, b, float)))],
+        axis=0,
+    ),
+    "append_col": lambda a, b: jnp.concatenate(
+        [jnp.asarray(a), jnp.asarray(b)], axis=-1
+    ),
+    "softmax": jax.nn.softmax,
+    "log_softmax": jax.nn.log_softmax,
+    "cumulative_sum": jnp.cumsum,
+    "reverse": lambda v: jnp.flip(jnp.asarray(v), axis=0),
+    "sort_asc": lambda v: jnp.sort(jnp.asarray(v)),
+    "sort_desc": lambda v: -jnp.sort(-jnp.asarray(v)),
+    "sd": lambda v: jnp.std(jnp.asarray(v), ddof=1),
+    "variance": lambda v: jnp.var(jnp.asarray(v), ddof=1),
+    "prod": jnp.prod,
+    "distance": lambda a, b: jnp.sqrt(
+        jnp.sum(jnp.square(jnp.asarray(a) - jnp.asarray(b)))
+    ),
+    "squared_distance": lambda a, b: jnp.sum(
+        jnp.square(jnp.asarray(a) - jnp.asarray(b))
+    ),
+    "norm2": lambda v: jnp.sqrt(jnp.sum(jnp.square(jnp.asarray(v)))),
+    "norm1": lambda v: jnp.sum(jnp.abs(jnp.asarray(v))),
     # Stan overloads min/max: binary scalar form AND container reduction
     "min": lambda *a: jnp.min(a[0]) if len(a) == 1 else jnp.minimum(*a),
     "max": lambda *a: jnp.max(a[0]) if len(a) == 1 else jnp.maximum(*a),
@@ -588,6 +986,38 @@ class _Return(Exception):
 
     def __init__(self, value):
         self.value = value
+
+
+class _Break(Exception):
+    """Raised for `break` under concrete (data-computable) control flow."""
+
+
+class _Continue(Exception):
+    """Raised for `continue` under concrete control flow."""
+
+
+def _stan_mul(a, b, node_a, node_b):
+    """Stan `*`: matrix algebra, not elementwise (`.*` is elementwise).
+
+    Containers collapse to jnp arrays without a row/column tag, so two 1-D
+    operands are disambiguated syntactically: ``v * u'`` is an outer product,
+    anything else (``x' * y``, ``row_vector * vector``) a dot product —
+    Stan's type system only admits row*col and col*row for 1-D pairs."""
+    an, bn = getattr(a, "ndim", 0), getattr(b, "ndim", 0)
+    if an == 0 or bn == 0:
+        return a * b
+    if an == 2 or bn == 2:
+        return jnp.matmul(a, b)
+    if isinstance(node_b, tuple) and node_b[0] == "transpose":
+        if not (isinstance(node_a, tuple) and node_a[0] == "transpose"):
+            return jnp.outer(a, b)  # v * u'
+    return jnp.dot(a, b)
+
+
+def _mv_density_sum(dist, y, params):
+    """Container densities contribute one scalar per statement (no implicit
+    elementwise vectorization beyond what the density itself defines)."""
+    return _MV_DENSITIES[dist](y, *params)
 
 
 class _Evaluator:
@@ -620,15 +1050,31 @@ class _Evaluator:
             if op == "-":
                 return a - b
             if op == "*":
-                return a * b
+                return _stan_mul(a, b, node[2], node[3])
             if op == "/":
                 if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
-                    return int(a) // int(b)  # Stan int division
+                    # Stan int division truncates toward zero (C semantics),
+                    # unlike Python's floor division: -3/2 == -1
+                    q = abs(int(a)) // abs(int(b))
+                    return -q if (a < 0) != (b < 0) else q
+                if getattr(a, "ndim", 0) == 2 and getattr(b, "ndim", 0) == 2:
+                    # matrix division A / B = A B^-1 (mdivide_right)
+                    return jnp.linalg.solve(jnp.asarray(b).T, jnp.asarray(a).T).T
                 return a / b
+            if op == "\\":
+                # left division A \ b = A^-1 b (mdivide_left)
+                return jnp.linalg.solve(jnp.asarray(a), jnp.asarray(b))
             if op == "^":
                 return _as_f(a) ** b
             if op == "%":
+                if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
+                    # C semantics: result carries the sign of the dividend
+                    return int(math.fmod(int(a), int(b)))
                 return a % b
+            if op == ".*":
+                return a * b
+            if op == "./":
+                return a / b
         if kind == "unary":
             v = self.eval_expr(node[2], env)
             if node[1] == "-":
@@ -667,8 +1113,7 @@ class _Evaluator:
             return jnp.where(c, a, b)
         if kind == "index":
             base = self.eval_expr(node[1], env)
-            idx = tuple(self.eval_expr(i, env) for i in node[2])
-            idx = tuple(i - 1 for i in idx)  # Stan is 1-indexed
+            idx = tuple(self._eval_index_item(i, env) for i in node[2])
             return base[idx if len(idx) > 1 else idx[0]]
         if kind == "transpose":
             v = self.eval_expr(node[1], env)
@@ -676,6 +1121,23 @@ class _Evaluator:
         if kind == "call":
             return self.eval_call(node[1], node[2], env)
         raise SyntaxError(f"stan: cannot evaluate {node!r}")
+
+    def _eval_index_item(self, node, env):
+        """One multi-index item -> a 0-based int/array index or a slice.
+        Range bounds must be data (concrete) — Stan slices are shape-level."""
+        if isinstance(node, tuple) and node[0] == "irange":
+            lo = None if node[1] is None else self.eval_expr(node[1], env)
+            hi = None if node[2] is None else self.eval_expr(node[2], env)
+            for v in (lo, hi):
+                if v is not None and not isinstance(v, (int, np.integer)):
+                    raise SyntaxError(
+                        "stan: range-index bounds must be data (concrete at "
+                        "trace time)"
+                    )
+            return slice(None if lo is None else int(lo) - 1,
+                         None if hi is None else int(hi))
+        i = self.eval_expr(node, env)
+        return i - 1  # Stan is 1-indexed
 
     def eval_call(self, name, arg_nodes, env):
         args = [self.eval_expr(a, env) for a in arg_nodes]
@@ -685,6 +1147,8 @@ class _Evaluator:
             return _MATH_FNS[name](*args)
         if name.endswith("_lpdf") or name.endswith("_lpmf"):
             dist = name[:-5]
+            if dist in _MV_DENSITIES:
+                return _mv_density_sum(dist, args[0], args[1:])
             if dist not in _DENSITIES:
                 raise SyntaxError(f"stan: unsupported density {dist!r}")
             return jnp.sum(_DENSITIES[dist](args[0], *args[1:]))
@@ -771,11 +1235,15 @@ class _Evaluator:
         if kind == "block":
             return self.exec_stmts(s[1], env, mask)
         if kind == "decl":
-            _, name, base, dims, lower, upper, init = s
+            _, name, base, adims, edims, lower, upper, init = s
             if init is not None:
                 env[name] = self.eval_expr(init, env)
             else:
-                shape = tuple(int(self.eval_expr(d, env)) for d in dims)
+                shape = tuple(
+                    int(self.eval_expr(d, env)) for d in adims + edims
+                )
+                if base in _SPECIAL_MAT and len(edims) == 1:
+                    shape = shape + (shape[-1],)  # square container
                 env[name] = jnp.zeros(shape) if shape else 0.0
             return []
         if kind == "assign":
@@ -794,10 +1262,13 @@ class _Evaluator:
             dist = s[2]
             if dist.endswith("_lpdf") or dist.endswith("_lpmf"):
                 dist = dist[:-5]
-            if dist not in _DENSITIES:
-                raise SyntaxError(f"stan: unsupported density {dist!r}")
             args = [self.eval_expr(a, env) for a in s[3]]
-            inc = jnp.sum(_DENSITIES[dist](y, *args))
+            if dist in _MV_DENSITIES:
+                inc = _mv_density_sum(dist, y, args)
+            elif dist in _DENSITIES:
+                inc = jnp.sum(_DENSITIES[dist](y, *args))
+            else:
+                raise SyntaxError(f"stan: unsupported density {dist!r}")
             if mask is not None:
                 inc = jnp.where(mask, inc, 0.0)
             env["__target__"] = env.get("__target__", 0.0) + inc
@@ -809,12 +1280,62 @@ class _Evaluator:
                 raise SyntaxError(
                     "stan: loop bounds must be data (loops unroll at trace time)"
                 )
+            vec = self._vectorized_for(s, int(lo), int(hi), env, mask)
+            if vec is not None:
+                return vec
             rets = []
             for i in range(int(lo), int(hi) + 1):
                 env[s[1]] = i
-                rets.extend(self.exec_stmts(s[4], env, mask))
+                try:
+                    rets.extend(self.exec_stmts(s[4], env, mask))
+                except _Continue:
+                    continue
+                except _Break:
+                    break
             env.pop(s[1], None)
             return rets
+        if kind == "while":
+            # condition must be data-computable: the loop runs at trace time
+            # (like `for`); traced conditions fail loudly rather than
+            # silently tracing forever
+            rets = []
+            n_iter = 0
+            while True:
+                cond = self.eval_expr(s[1], env)
+                if _traced(cond):
+                    raise SyntaxError(
+                        "stan: while conditions must be data-computable "
+                        "(concrete at trace time); parameter-dependent "
+                        "while loops cannot compile to a static XLA graph"
+                    )
+                if not bool(cond):
+                    break
+                n_iter += 1
+                if n_iter > 1_000_000:
+                    raise RuntimeError(
+                        "stan: while loop exceeded 1e6 trace-time iterations"
+                    )
+                try:
+                    rets.extend(self.exec_stmts(s[2], env, mask))
+                except _Continue:
+                    continue
+                except _Break:
+                    break
+            return rets
+        if kind == "break":
+            if mask is not None:
+                raise SyntaxError(
+                    "stan: break under a parameter-dependent condition is "
+                    "not supported (control flow must be data-computable)"
+                )
+            raise _Break()
+        if kind == "continue":
+            if mask is not None:
+                raise SyntaxError(
+                    "stan: continue under a parameter-dependent condition "
+                    "is not supported (control flow must be data-computable)"
+                )
+            raise _Continue()
         if kind == "if":
             cond = self.eval_expr(s[1], env)
             if isinstance(cond, (bool, np.bool_)):
@@ -859,6 +1380,52 @@ class _Evaluator:
                 raise _Return(val)
             return [(mask, val)]
         raise SyntaxError(f"stan: cannot execute {s!r}")
+
+    def _vectorized_for(self, s, lo, hi, env, mask):
+        """Vectorize a data-length loop of pure sampling statements.
+
+        ``for (i in 1:N) y[i] ~ normal(mu[i], sigma);`` unrolled costs O(N)
+        trace time; with the loop variable bound to ``arange(lo, hi+1)`` the
+        body evaluates ONCE with vector semantics (1-based gathers become
+        batched gathers) and the elementwise density sums to exactly the same
+        total. Only applied when every body statement is a univariate
+        ``~``-statement and every evaluated operand is a scalar or an
+        [N]-vector — anything else (assignments, matrix-shaped operands,
+        nested loops, container densities) falls back to unrolling, keeping
+        semantics identical. This is the compile-time-scaling guard: the
+        reference compiles Stan once through BridgeStan independent of data
+        size (ext/PigeonsBridgeStanExt/interface.jl); here the trace of a
+        10^5-row likelihood loop stays O(1) in the data length."""
+        n = hi - lo + 1
+        if n < 32:
+            return None  # unroll small loops (keeps traces bit-stable)
+        body = s[4]
+        if not body or any(st[0] != "sample" for st in body):
+            return None
+        venv = dict(env)
+        # HOST-numpy index vector: under a jit trace a jnp.arange would be a
+        # (constant-valued) tracer, and numpy data arrays cannot be fancy-
+        # indexed by tracers — np keeps data gathers concrete either way
+        venv[s[1]] = np.arange(lo, hi + 1)
+        total = jnp.zeros(())
+        try:
+            for st in body:
+                y = self.eval_expr(st[1], venv)
+                dist = st[2]
+                if dist.endswith("_lpdf") or dist.endswith("_lpmf"):
+                    dist = dist[:-5]
+                if dist not in _DENSITIES:
+                    return None
+                args = [self.eval_expr(a, venv) for a in st[3]]
+                if not all(np.shape(v) in ((), (n,)) for v in (y, *args)):
+                    return None
+                total = total + jnp.sum(_DENSITIES[dist](y, *args))
+        except Exception:
+            return None  # the unrolled path re-raises any real model error
+        if mask is not None:
+            total = jnp.where(mask, total, 0.0)
+        env["__target__"] = env.get("__target__", 0.0) + total
+        return []
 
     def _assign(self, lv, op, val, env, mask):
         if lv[0] == "var":
@@ -924,7 +1491,9 @@ def _mask_env(env, cond):
 
 
 # ---------------------------------------------------------------------------
-# constraint transforms (Stan reference manual, change of variables)
+# constraint transforms (Stan reference manual ch. 10, change of variables).
+# Closed-form log-jacobians; each is verified against the autodiff
+# slogdet(jacobian) oracle in tests/test_stan_lang.py.
 # ---------------------------------------------------------------------------
 
 
@@ -942,6 +1511,190 @@ def _constrain_scalarwise(u, lower, upper):
     x = lower + width * s
     logjac = jnp.log(width) + jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u)
     return x, logjac
+
+
+def _constrain_simplex(u):
+    """Stick-breaking (Stan 10.6): u [K-1] -> x on the K-simplex."""
+    K = u.shape[0] + 1
+    ks = jnp.arange(1, K)
+    z = jax.nn.sigmoid(u - jnp.log(1.0 * (K - ks)))
+
+    def step(rem, zk):
+        xk = zk * rem
+        lj = jnp.log(zk) + jnp.log1p(-zk) + jnp.log(rem)
+        return rem - xk, (xk, lj)
+
+    rem, (xs, ljs) = jax.lax.scan(step, jnp.ones(()), z)
+    x = jnp.concatenate([xs, rem[None]])
+    return x, jnp.sum(ljs)
+
+
+def _constrain_ordered(u):
+    """x_1 = u_1, x_k = x_(k-1) + exp(u_k) (Stan 10.4)."""
+    x = u[0] + jnp.concatenate(
+        [jnp.zeros((1,)), jnp.cumsum(jnp.exp(u[1:]))]
+    )
+    return x, jnp.sum(u[1:])
+
+
+def _constrain_positive_ordered(u):
+    x = jnp.cumsum(jnp.exp(u))
+    return x, jnp.sum(u)
+
+
+def _constrain_unit_vector(u):
+    """x = u/|u| with Stan's auxiliary -|u|^2/2 'jacobian' term (Stan 10.8:
+    the pushforward of the standard normal is uniform on the sphere)."""
+    r2 = jnp.sum(u * u)
+    x = u / jnp.sqrt(r2)
+    return x, -0.5 * r2
+
+
+def _cpc_cholesky(u, K):
+    """Canonical-partial-correlation -> Cholesky factor of a correlation
+    matrix (Stan 10.12). ``u`` is the K(K-1)/2 strictly-lower entries in
+    row-major order. Returns (L, logjac) where logjac covers both the tanh
+    and the CPC->L maps: sum over strict-lower (i,j) of
+    log(1-z_ij^2) + log prod_(j'<j) sqrt(1-z_ij'^2)."""
+    il = np.tril_indices(K, -1)  # row-major strict lower
+    z = jnp.zeros((K, K), u.dtype).at[il].set(jnp.tanh(u))
+    mask_sl = np.tril(np.ones((K, K), bool), -1)
+    c = jnp.where(mask_sl, jnp.sqrt(1.0 - z * z), 1.0)
+    cp_inc = jnp.cumprod(c, axis=1)
+    ecp = jnp.concatenate(
+        [jnp.ones((K, 1), u.dtype), cp_inc[:, :-1]], axis=1
+    )  # exclusive row cumprod: remaining length before column j
+    L = jnp.where(mask_sl, z * ecp, 0.0) + jnp.diag(jnp.diagonal(ecp))
+    logjac = jnp.sum(
+        jnp.where(mask_sl, jnp.log1p(-z * z) + jnp.log(ecp), 0.0)
+    )
+    return L, logjac
+
+
+def _constrain_cholesky_factor_corr(u, K):
+    return _cpc_cholesky(u, K)
+
+
+def _constrain_corr_matrix(u, K):
+    L, logjac = _cpc_cholesky(u, K)
+    R = L @ L.T
+    # L -> R on the strict lower triangle is triangular with dR_ij/dL_ij =
+    # L_jj: each column-j diagonal appears once per row below it
+    diag = jnp.diagonal(L)
+    w = jnp.arange(K - 1, -1, -1, dtype=u.dtype)  # K-1-j for 0-based j
+    return R, logjac + jnp.sum(w * jnp.log(diag))
+
+
+def _constrain_cov_matrix(u, K):
+    """u = (log-diagonal [K], strict-lower row-major [K(K-1)/2]);
+    Sigma = L L' with L_ii = exp(d_i). log|J| = K log 2 + sum (K-j+1) d_j
+    (0-based j; Stan 10.9's K log 2 + sum (K-k+2) z_kk with 1-based k)."""
+    d = u[:K]
+    il = np.tril_indices(K, -1)
+    L = jnp.zeros((K, K), u.dtype).at[il].set(u[K:]) + jnp.diag(jnp.exp(d))
+    Sigma = L @ L.T
+    w = jnp.arange(K + 1, 1, -1, dtype=u.dtype)  # K-j+1 for j=0..K-1
+    return Sigma, K * math.log(2.0) + jnp.sum(w * d)
+
+
+def _constrain_cholesky_factor_cov(u, M, N):
+    """Lower-trapezoidal [M, N] factor with positive diagonal: diagonal logs
+    first, then the below-diagonal entries row-major. log|J| = sum d."""
+    d = u[:N]
+    rest = u[N:]
+    rows, cols = np.tril_indices(M, -1)
+    keep = cols < N
+    rows, cols = rows[keep], cols[keep]
+    L = (
+        jnp.zeros((M, N), u.dtype)
+        .at[rows, cols].set(rest)
+        .at[jnp.arange(N), jnp.arange(N)].set(jnp.exp(d))
+    )
+    return L, jnp.sum(d)
+
+
+# ---------------------------------------------------------------------------
+# parameter specs: one transform per declared parameter
+# ---------------------------------------------------------------------------
+
+
+class _ParamSpec:
+    """One parameters-block declaration compiled to its unconstraining
+    transform: ``constrain(u[unc_size]) -> (value[shape], logjac)``."""
+
+    def __init__(self, name, off, unc_size, shape, constrain, kind, identity):
+        self.name = name
+        self.off = off
+        self.unc_size = unc_size
+        self.shape = shape  # constrained shape (incl. leading array dims)
+        self.constrain = constrain
+        self.kind = kind
+        self.identity = identity  # True iff value == u (no transform)
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape)) if self.shape else 1
+
+
+def _base_transform(kind, edims, lo, hi):
+    """One element's transform: (unc_base_size, base_shape, fn)."""
+    if kind in ("int", "real", "vector", "row_vector", "matrix"):
+        shape = tuple(edims)
+        size = int(np.prod(shape)) if shape else 1
+
+        def fn(u):
+            v, lj = _constrain_scalarwise(u, lo, hi)
+            return (v.reshape(shape) if shape else v[0]), jnp.sum(lj)
+
+        return size, shape, fn
+    if kind == "simplex":
+        K = edims[0]
+        return K - 1, (K,), _constrain_simplex
+    if kind == "ordered":
+        K = edims[0]
+        return K, (K,), _constrain_ordered
+    if kind == "positive_ordered":
+        K = edims[0]
+        return K, (K,), _constrain_positive_ordered
+    if kind == "unit_vector":
+        K = edims[0]
+        return K, (K,), _constrain_unit_vector
+    if kind == "cholesky_factor_corr":
+        K = edims[0]
+        return K * (K - 1) // 2, (K, K), lambda u: _constrain_cholesky_factor_corr(u, K)
+    if kind == "corr_matrix":
+        K = edims[0]
+        return K * (K - 1) // 2, (K, K), lambda u: _constrain_corr_matrix(u, K)
+    if kind == "cov_matrix":
+        K = edims[0]
+        return K * (K + 1) // 2, (K, K), lambda u: _constrain_cov_matrix(u, K)
+    if kind == "cholesky_factor_cov":
+        M = edims[0]
+        N = edims[1] if len(edims) > 1 else M
+        n_below = sum(min(i, N) for i in range(M))
+        return N + n_below, (M, N), lambda u: _constrain_cholesky_factor_cov(u, M, N)
+    raise SyntaxError(f"stan: unsupported parameter type {kind!r}")
+
+
+def _make_param_spec(name, off, kind, adims, edims, lo, hi):
+    unc_base, base_shape, fn = _base_transform(kind, edims, lo, hi)
+    identity = (
+        kind in ("real", "vector", "row_vector", "matrix")
+        and lo is None
+        and hi is None
+    )
+    if not adims:
+        return _ParamSpec(name, off, unc_base, base_shape, fn, kind, identity)
+    A = int(np.prod(adims))
+
+    def fn_arr(u):
+        vals, ljs = jax.vmap(fn)(u.reshape(A, unc_base))
+        return vals.reshape(tuple(adims) + base_shape), jnp.sum(ljs)
+
+    return _ParamSpec(
+        name, off, A * unc_base, tuple(adims) + base_shape, fn_arr, kind,
+        identity,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -964,18 +1717,25 @@ class StanTarget(Target):
         data = dict(data or {})
         env = {}
         for d in blocks.get("data", []):
-            _, dname, base, dims, lower, upper, init = d
+            _, dname, base, adims, edims, lower, upper, init = d
             if dname not in data:
                 raise ValueError(f"stan: missing data value for {dname!r}")
             v = data[dname]
-            if base == "int":
-                v = int(v)
-            elif base == "real":
-                v = float(v)
+            if not adims and not edims:
+                v = int(v) if base == "int" else float(v)
             else:
-                v = np.asarray(v, dtype=np.float64)
-                if base.startswith("array int"):
-                    v = np.asarray(data[dname], dtype=np.int64)
+                dt = np.int64 if base == "int" else np.float64
+                v = np.asarray(v, dtype=dt)
+                want = tuple(
+                    int(self._ev.eval_expr(dd, env)) for dd in adims + edims
+                )
+                if base in _SPECIAL_MAT and len(edims) == 1:
+                    want = want + (want[-1],)
+                if v.shape != want:
+                    raise ValueError(
+                        f"stan: data {dname!r} has shape {v.shape}, declared "
+                        f"{want}"
+                    )
             env[dname] = v
         # transformed data: runs once, host-side
         td_env = dict(env)
@@ -983,25 +1743,23 @@ class StanTarget(Target):
         td_env.pop("__target__", None)
         self._data_env = td_env
 
-        # parameters: sizes + constraints (evaluated against data)
+        # parameters: one unconstraining transform per declaration
         self._params = []
         off = 0
         for p in blocks.get("parameters", []):
-            _, pname, base, dims, lower, upper, init = p
-            if base == "int" or base.startswith("array int"):
+            _, pname, base, adims, edims, lower, upper, init = p
+            if base == "int":
                 raise ValueError(
                     "stan: integer parameters are not supported (Stan itself "
                     "forbids them)"
                 )
-            size = 1
-            shape = ()
-            if dims:
-                shape = tuple(int(self._ev.eval_expr(d, td_env)) for d in dims)
-                size = int(np.prod(shape))
+            adims_c = tuple(int(self._ev.eval_expr(d, td_env)) for d in adims)
+            edims_c = tuple(int(self._ev.eval_expr(d, td_env)) for d in edims)
             lo = None if lower is None else self._ev.eval_expr(lower, td_env)
             hi = None if upper is None else self._ev.eval_expr(upper, td_env)
-            self._params.append((pname, off, size, shape, lo, hi))
-            off += size
+            spec = _make_param_spec(pname, off, base, adims_c, edims_c, lo, hi)
+            self._params.append(spec)
+            off += spec.unc_size
         self.dim = off
         if off == 0:
             raise ValueError("stan: model has no parameters")
@@ -1013,11 +1771,11 @@ class StanTarget(Target):
         total log-jacobian)."""
         env = dict(self._data_env)
         logjac = jnp.zeros(())
-        for pname, off, size, shape, lo, hi in self._params:
-            u = x[off : off + size]
-            v, lj = _constrain_scalarwise(u, lo, hi)
-            logjac = logjac + jnp.sum(lj)
-            env[pname] = v.reshape(shape) if shape else v[0]
+        for spec in self._params:
+            u = x[spec.off : spec.off + spec.unc_size]
+            v, lj = spec.constrain(u)
+            logjac = logjac + lj
+            env[spec.name] = v
         ev = _Evaluator(self._blocks.get("functions", []))
         ev.exec_stmts(self._blocks.get("transformed parameters", []), env)
         env.pop("__target__", None)
@@ -1047,16 +1805,34 @@ class StanTarget(Target):
     # -- extraction (param_constrain with tp + gq, state.jl:4-8) ---------
 
     def sample_names(self, include_tp=True, include_gq=True):
+        """CONSTRAINED-space draw names (``constrained_samples`` layout),
+        matching BridgeStan's ``param_names``."""
         names = []
-        for pname, off, size, shape, lo, hi in self._params:
-            if shape:
-                names += [f"{pname}[{i}]" for i in range(size)]
+        for spec in self._params:
+            if spec.shape:
+                names += [f"{spec.name}[{i}]" for i in range(spec.size)]
             else:
-                names.append(pname)
+                names.append(spec.name)
         if include_tp:
             names += self._block_var_names("transformed parameters")
         if include_gq:
             names += self._block_var_names("generated quantities")
+        names.append("log_density")
+        return names
+
+    def unconstrained_sample_names(self):
+        """Column labels for ``pt.sample_array()``, which holds the
+        UNCONSTRAINED parameter vector: identity coordinates keep the
+        parameter's name, transformed ones are suffixed ``_unc`` so a
+        logit/log/cholesky-scale column is never mislabeled as the
+        constrained value (ADVICE r4)."""
+        names = []
+        for spec in self._params:
+            base = spec.name if spec.identity else f"{spec.name}_unc"
+            if spec.unc_size == 1 and not spec.shape:
+                names.append(base)
+            else:
+                names += [f"{base}[{i}]" for i in range(spec.unc_size)]
         names.append("log_density")
         return names
 
@@ -1087,8 +1863,8 @@ class StanTarget(Target):
         v_constrain = jax.jit(jax.vmap(lambda x: self._constrain_env(x)[0]))
         envs = v_constrain(jnp.asarray(sa))
         out = {}
-        for pname, off, size, shape, lo, hi in self._params:
-            out[pname] = np.asarray(envs[pname])
+        for spec in self._params:
+            out[spec.name] = np.asarray(envs[spec.name])
         if include_tp:
             for s in self._blocks.get("transformed parameters", []):
                 if s[0] == "decl":
