@@ -366,34 +366,101 @@ def _automala_mxu_baseline(budget_s: float = 3.0) -> float:
     return evals / (time.perf_counter() - t0)
 
 
+def _mxu_dense_eval_rate(target, lanes, n_iters=64) -> float:
+    """Speed-of-light for config 2b's unit of work: full-width batched
+    leapfrog (density+gradient) evals/s with NO search logic, masking, or
+    carry — every lane always active, iterations chained so nothing is
+    skipped. This is the denominator of the structural floor (VERDICT r4
+    item 3): the rate the hardware sustains when every executed eval is a
+    mandatory one."""
+    import jax
+    import jax.numpy as jnp
+
+    ld = target.log_density
+
+    def leap(carry, _):
+        x, v = carry
+        lp, g = jax.vmap(jax.value_and_grad(ld))(x)
+        v1 = v + 0.5 * 0.01 * g
+        x1 = x + 0.01 * v1
+        return (x1, v1 + lp[:, None] * 0.0), None
+
+    @jax.jit
+    def run(x, v):
+        (x, v), _ = jax.lax.scan(leap, (x, v), None, length=n_iters)
+        return x
+
+    key = jax.random.key(0)
+    x = 0.05 * jax.random.normal(key, (lanes, target.dim), jnp.float32)
+    v = jax.random.normal(key, (lanes, target.dim), jnp.float32)
+    jax.block_until_ready(run(x, v))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x, v))
+        best = min(best, time.perf_counter() - t0)
+    return lanes * n_iters / best
+
+
 def _automala_mxu_run():
     """BASELINE config 2b: MXU-scale logistic regression (n=4096, d=256) with
     the queued AutoMALA (compacted work-queue + in-queue speculation — see
     docs/performance.md; chains bitwise-identical to the sequential search).
     Reports evals/s plus achieved TFLOP/s and utilization of the v5e's
-    197 TF bf16 matmul peak (4·n·d FLOPs per density+gradient eval)."""
+    197 TF bf16 matmul peak (4·n·d FLOPs per density+gradient eval), and the
+    STRUCTURAL FLOOR accounting: algorithmic (sequential-equivalent) evals
+    per round over the dense-leapfrog speed-of-light rate — pct_of_floor is
+    what fraction of the no-divergence ideal the measured round achieves."""
     from pigeons_tpu import AutoMALA, Inputs, PT
     from pigeons_tpu.models import logistic_regression
 
     target = logistic_regression(MXU_N, MXU_D, seed=0)
-    pt = PT(
-        Inputs(
-            target=target,
-            n_chains=MXU_CHAINS,
-            n_rounds=4,
-            n_replicates=MXU_REPS,
-            seed=1,
-            explorer=AutoMALA(queued=True, queue_width=512, window=4),
-            show_report=False,
+
+    def make_pt(**kw):
+        return PT(
+            Inputs(
+                target=target,
+                n_chains=MXU_CHAINS,
+                n_rounds=4,
+                n_replicates=MXU_REPS,
+                seed=1,
+                show_report=False,
+                **kw,
+            )
         )
-    )
+
+    pt = make_pt(explorer=AutoMALA(queued=True, queue_width=512, window=4))
     while pt.round_idx < 4:
         pt.run_round(n_scans=4)
-    rate, _, report = _best_of(
+    rate, reduced, report = _best_of(
         pt, MXU_SCANS, lambda r, rep: _eval_rate(r, rep, MXU_CHAINS, MXU_REPS)
     )
     tflops = rate * 4.0 * MXU_N * (MXU_D + 1) / 1e12
-    return rate, tflops, report
+
+    # floor accounting. Algorithmic evals = what the SEQUENTIAL search
+    # executes (its n_evals has no speculation/rematerialization waste); a
+    # short window=0 non-queued control measures them per scan per lane.
+    ctrl = make_pt(explorer=AutoMALA())
+    ctrl.run_round(n_scans=2)  # compile + adapt step sizes comparably
+    ctrl_red = ctrl.run_round(n_scans=2)
+    ctrl_rep = ctrl.reports[-1]
+    alg_evals_per_scan = float(np.sum(ctrl_red.exp_steps)) / ctrl_rep.n_scans
+    alg_evals_per_round = alg_evals_per_scan * report.n_scans + (
+        2.0 * MXU_CHAINS * report.n_scans * MXU_REPS
+    )
+    dense_rate = _mxu_dense_eval_rate(target, MXU_CHAINS * MXU_REPS)
+    floor_wall = alg_evals_per_round / dense_rate
+    pct_of_floor = 100.0 * floor_wall / report.wall_time_s
+    alg_rate = alg_evals_per_round / report.wall_time_s
+    return {
+        "rate": rate,
+        "tflops": tflops,
+        "report": report,
+        "dense_rate": dense_rate,
+        "alg_rate": alg_rate,
+        "pct_of_floor": pct_of_floor,
+        "alg_evals_per_round": alg_evals_per_round,
+    }
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0
@@ -406,10 +473,19 @@ def main() -> None:
     rt_rate, trips, restarts, rt_report, rt_pt = _round_trip_run()
     am_value, am_report = _automala_run()
     mxu_base = _automala_mxu_baseline()
-    mxu_value, mxu_tflops, mxu_report = _automala_mxu_run()
+    mxu = _automala_mxu_run()
+    mxu_value, mxu_tflops, mxu_report = mxu["rate"], mxu["tflops"], mxu["report"]
     fn_rate, fn_trips, fn_report, fn_pt = _funnel_run()
     var_rate, var_restarts, var_report, var_pt = _variational_run()
     mesh_value, mesh_report = _mesh_run()
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from collective_scaling import measure as _collective_measure
+
+        proxy = _collective_measure()
+    except Exception as e:  # the proxy spawns CPU subprocesses; never let it
+        print(f"# collective proxy failed: {e}", file=sys.stderr)
+        proxy = {}  # sink the headline bench
     print(
         json.dumps(
             {
@@ -426,9 +502,26 @@ def main() -> None:
                     100.0 * mxu_tflops / V5E_BF16_PEAK_TFLOPS, 1
                 ),
                 "automala_mxu_vs_host_numpy": round(mxu_value / mxu_base, 1),
+                # structural-floor accounting (VERDICT r4 item 3):
+                # floor = dense batched leapfrog with zero search divergence;
+                # algorithmic = sequential-equivalent evals (no speculation
+                # or rematerialization waste counted — ADVICE r4)
+                "automala_mxu_floor_evals_per_sec": round(mxu["dense_rate"], 1),
+                "automala_mxu_algorithmic_evals_per_sec": round(
+                    mxu["alg_rate"], 1
+                ),
+                "automala_mxu_pct_of_floor": round(mxu["pct_of_floor"], 1),
                 "funnel_round_trips_per_hour": round(fn_rate, 1),
                 "variational_restarts_per_hour": round(var_rate, 1),
                 "mesh_evals_per_sec_per_chip": round(mesh_value, 1),
+                # collective-overhead scaling proxy (VERDICT r4 item 5):
+                # same global program at 1/2/4 OS processes; efficiency is
+                # iso-work wall-time ratio, control has zero collectives
+                **{
+                    f"collective_proxy_{k}": v
+                    for k, v in proxy.items()
+                    if k != "runs"
+                },
             }
         )
     )
@@ -448,6 +541,10 @@ def main() -> None:
         f"{mxu_report.wall_time_s:.2f}s -> {mxu_tflops:.1f} TFLOP/s "
         f"({100.0*mxu_tflops/V5E_BF16_PEAK_TFLOPS:.1f}% of bf16 matmul peak; "
         f"host-numpy baseline {mxu_base:.0f} evals/s)\n"
+        f"# automala MXU floor: dense leapfrog {mxu['dense_rate']:.3e} "
+        f"evals/s; algorithmic {mxu['alg_rate']:.3e} evals/s -> "
+        f"{mxu['pct_of_floor']:.1f}% of floor (gap = straggler queue "
+        f"iterations + speculation waste, docs/performance.md)\n"
         f"# config1 with recorders off: {off_report.n_scans} scans in "
         f"{off_report.wall_time_s:.2f}s\n"
         f"# funnel (config 3): {FUNNEL_CHAINS} chains x {FUNNEL_REPLICATES} "

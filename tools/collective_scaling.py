@@ -78,11 +78,15 @@ def worker(pid: int, nprocs: int, port: int) -> None:
         )
 
 
-def driver() -> None:
+def measure(proc_counts=(1, 2, 4)) -> dict:
+    """Run the proxy and return driver-artifact-ready numbers: per-scan
+    boundary overhead and iso-work scaling efficiency at each process count,
+    with the zero-collective replicate-sharded control (VERDICT r4 item 5 —
+    these feed BENCH_r*.json via bench.py)."""
     here = os.path.abspath(__file__)
     root = os.path.dirname(os.path.dirname(here))
     results = []
-    for nprocs in (1, 2, 4):
+    for nprocs in proc_counts:
         s = socket.socket()
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -126,15 +130,25 @@ def driver() -> None:
         )
     base = results[0]["round_s"]
     rep_base = results[0]["rep_round_s"]
+    out = {"n_scans": N_SCANS, "runs": results}
     for r in results:
+        p = r["nprocs"]
         over = (r["round_s"] - base) / N_SCANS * 1e6
         eff = base / r["round_s"] * 100.0
         rep_eff = rep_base / r["rep_round_s"] * 100.0
+        out[f"eff_p{p}_pct"] = round(eff, 1)
+        out[f"overhead_us_per_scan_p{p}"] = round(max(over, 0.0), 1)
+        out[f"control_eff_p{p}_pct"] = round(rep_eff, 1)
         print(
-            f"P={r['nprocs']}: collective path {eff:.1f}% iso-work efficiency "
+            f"P={p}: collective path {eff:.1f}% iso-work efficiency "
             f"({max(over, 0):.0f} us/scan boundary overhead); "
             f"no-collective control {rep_eff:.1f}%"
         )
+    return out
+
+
+def driver() -> None:
+    measure()
 
 
 if __name__ == "__main__":
