@@ -45,6 +45,7 @@ from .ops import (
     IdentityPreconditioner,
     MALA,
     Mix,
+    ScanMix,
     MixDiagonalPreconditioner,
     NoOpExplorer,
     NUTS,
@@ -107,6 +108,7 @@ __all__ = [
     "AAPS",
     "NUTS",
     "Mix",
+    "ScanMix",
     "Compose",
     "IdentityPreconditioner",
     "DiagonalPreconditioner",

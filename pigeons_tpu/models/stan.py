@@ -372,7 +372,9 @@ class _Parser:
                 depth += tv == "("
                 depth -= tv == ")"
             self.expect(";")
-            return [("nop",)]
+            # print is a no-op; reject() zeroes the density (Stan: the draw
+            # is rejected — in a density evaluation that is target = -inf)
+            return [("reject",)] if v == "reject" else [("nop",)]
         if v == "target":
             self.next()
             self.expect("+=")
@@ -1177,6 +1179,26 @@ class _Evaluator:
             return r.beta(a[0], a[1])
         if dist == "binomial":
             return r.binomial(int(a[0]), a[1])
+        if dist == "gamma":
+            return r.gamma(a[0], 1.0 / a[1])
+        if dist == "poisson":
+            return r.poisson(a[0])
+        if dist == "lognormal":
+            return r.lognormal(a[0], a[1])
+        if dist == "student_t":
+            return a[1] + a[2] * r.standard_t(a[0])
+        if dist == "cauchy":
+            return a[0] + a[1] * np.tan(np.pi * (r.random() - 0.5))
+        if dist == "dirichlet":
+            return r.dirichlet(np.asarray(a[0], np.float64))
+        if dist == "multi_normal":
+            return r.multivariate_normal(a[0], a[1])
+        if dist == "categorical":
+            p = np.asarray(a[0], np.float64)
+            return 1 + r.choice(len(p), p=p / p.sum())
+        if dist == "multinomial":
+            # Stan: multinomial_rng(theta, N)
+            return r.multinomial(int(a[1]), np.asarray(a[0], np.float64))
         raise SyntaxError(f"stan: unsupported rng {dist!r}")
 
     def call_function(self, name, args):
@@ -1250,6 +1272,15 @@ class _Evaluator:
             lv, op, rhs = s[1], s[2], s[3]
             val = self.eval_expr(rhs, env)
             return self._assign(lv, op, val, env, mask)
+        if kind == "reject":
+            # Stan semantics: the proposal is rejected -> density -inf on
+            # the lanes that reach the statement (NaN-guarded to -inf by the
+            # runtime either way)
+            inc = jnp.float32(-jnp.inf)
+            if mask is not None:
+                inc = jnp.where(mask, inc, 0.0)
+            env["__target__"] = env.get("__target__", 0.0) + inc
+            return []
         if kind == "target":
             inc = self.eval_expr(s[1], env)
             inc = jnp.sum(inc) if hasattr(inc, "ndim") and getattr(inc, "ndim", 0) else inc

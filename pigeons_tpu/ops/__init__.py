@@ -2,7 +2,7 @@ from .aaps import AAPS
 from .automala import AutoMALA
 from .base import Explorer, NoOpExplorer, StepOut, ToyExplorer
 from .binary_gibbs import BinaryGibbs
-from .combinators import Compose, Mix
+from .combinators import Compose, Mix, ScanMix
 from .hamiltonian import (
     DiagonalPreconditioner,
     IdentityPreconditioner,
@@ -25,6 +25,7 @@ __all__ = [
     "IdentityPreconditioner",
     "MALA",
     "Mix",
+    "ScanMix",
     "MixDiagonalPreconditioner",
     "NoOpExplorer",
     "NUTS",

@@ -66,6 +66,7 @@ class AutoMALA(Explorer):
         window: int = 0,
         queued: bool = False,
         queue_width: int = 0,
+        queue_tail_width: int = 0,
     ):
         self.step_size = float(step_size)
         self.base_n_refresh = int(base_n_refresh)
@@ -83,6 +84,12 @@ class AutoMALA(Explorer):
         # compacted work-queue search (step_batched below): 0 width = B//8
         self.queued = bool(queued)
         self.queue_width = int(queue_width)
+        # telescoping tail (straggler attack, VERDICT r4 item 3): -1 auto =
+        # max(64, Wq//8), 0 disables (default — measured neutral at the MXU
+        # config: the queue only runs ~3-6 iterations, so trailing padding
+        # is not the dominant waste; speculation is. docs/performance.md).
+        # Results are bitwise width-independent either way (tested).
+        self.queue_tail_width = int(queue_tail_width)
 
     @property
     def batched(self) -> bool:
@@ -299,6 +306,7 @@ class AutoMALA(Explorer):
 def _queued_search(
     leap_sub, X, V, lp, cgrad, precond, base_step, lower, upper, betas, isvar,
     h_before, max_exponent: int, Wq: int, direction_of, W: int = 1,
+    Wq_tail: int = 0,
 ):
     """Compacted work-queue form of the step-size search over a [B] batch,
     with ``W`` speculative trials per selected lane per iteration.
@@ -328,6 +336,13 @@ def _queued_search(
     Selection semantics equal the sequential search's exactly (same exponent,
     hence bitwise the same candidate after rematerialization; tested).
     Returns (exponent [B], n_evals [B]).
+
+    ``Wq_tail`` (> 0) adds a TELESCOPING TAIL (straggler attack, VERDICT r4
+    item 3): once fewer than ``Wq_tail`` lanes remain active, the search
+    drops into a second loop with queue width ``Wq_tail`` — the last few
+    deep-search stragglers stop paying for a mostly-padded full-width
+    queue. Selection (and the per-lane eval stats, which only count valid
+    lanes) is width-independent, so results stay bitwise identical.
     """
     # trial 0: every lane needs it — full width
     x1, v2, lp1, cg1, ok = leap_sub(X, V, base_step, cgrad, precond, betas, isvar)
@@ -340,59 +355,77 @@ def _queued_search(
     done = direction == 0
     evals = jnp.ones((B,), jnp.float32)
 
-    def cond(st):
-        n, stepv, done, evals = st
-        return jnp.any(~done & (n < max_exponent))
+    def make_cond(min_active):
+        def cond(st):
+            n, stepv, done, evals = st
+            active = ~done & (n < max_exponent)
+            if min_active:
+                # hand the last few stragglers to the narrower tail loop
+                return jnp.sum(active) > min_active
+            return jnp.any(active)
 
-    def body(st):
-        n, stepv, done, evals = st
-        active = ~done & (n < max_exponent)
-        order = jnp.argsort(~active)  # stable: active lanes first
-        idx = order[:Wq]
-        valid = active[idx]
-        d_i = direction[idx]
-        # trials at exponents n+1 .. n+W in each lane's search direction
-        js = jnp.arange(1, W + 1, dtype=stepv.dtype)
-        fac = jnp.where(d_i[:, None] > 0, 2.0**js[None, :], 0.5**js[None, :])
-        eps = (stepv[idx][:, None] * fac).reshape(-1)  # [Wq*W]
+        return cond
 
-        def rep(a):
-            return jnp.repeat(a, W, axis=0)
+    def make_body(width):
+        def body(st):
+            n, stepv, done, evals = st
+            active = ~done & (n < max_exponent)
+            order = jnp.argsort(~active)  # stable: active lanes first
+            idx = order[:width]
+            valid = active[idx]
+            d_i = direction[idx]
+            # trials at exponents n+1 .. n+W in each lane's search direction
+            js = jnp.arange(1, W + 1, dtype=stepv.dtype)
+            fac = jnp.where(
+                d_i[:, None] > 0, 2.0**js[None, :], 0.5**js[None, :]
+            )
+            eps = (stepv[idx][:, None] * fac).reshape(-1)  # [width*W]
 
-        x1, v2, lp1, cg1, ok = leap_sub(
-            rep(X[idx]), rep(V[idx]), eps, rep(cgrad[idx]), rep(precond[idx]),
-            rep(betas[idx]), rep(isvar[idx]),
-        )
-        diff = jnp.where(
-            ok, lp1 - 0.5 * jnp.sum(v2 * v2, axis=1) - rep(h_before[idx]),
-            jnp.nan,
-        ).reshape(Wq, W)
+            def rep(a):
+                return jnp.repeat(a, W, axis=0)
 
-        stop = jnp.where(
-            d_i[:, None] > 0,
-            ~jnp.isfinite(diff) | (diff < upper[idx][:, None]),
-            jnp.isfinite(diff) & (diff > lower[idx][:, None]),
-        )  # [Wq, W]
-        # trials past max_exponent never count (sequential cond caps there)
-        j_lim = jnp.clip(max_exponent - n[idx], 0, W)  # [Wq]
-        in_range = jnp.arange(1, W + 1)[None, :] <= j_lim[:, None]
-        stop = stop & in_range
-        stopped = jnp.any(stop, axis=1)
-        j_stop = jnp.argmax(stop, axis=1) + 1  # first stopping trial
-        j_eff = jnp.where(stopped, j_stop, j_lim)
+            x1, v2, lp1, cg1, ok = leap_sub(
+                rep(X[idx]), rep(V[idx]), eps, rep(cgrad[idx]),
+                rep(precond[idx]), rep(betas[idx]), rep(isvar[idx]),
+            )
+            diff = jnp.where(
+                ok, lp1 - 0.5 * jnp.sum(v2 * v2, axis=1) - rep(h_before[idx]),
+                jnp.nan,
+            ).reshape(width, W)
 
-        def upd(arr, new):
-            return arr.at[idx].set(jnp.where(valid, new, arr[idx]))
+            stop = jnp.where(
+                d_i[:, None] > 0,
+                ~jnp.isfinite(diff) | (diff < upper[idx][:, None]),
+                jnp.isfinite(diff) & (diff > lower[idx][:, None]),
+            )  # [width, W]
+            # trials past max_exponent never count (sequential cond caps there)
+            j_lim = jnp.clip(max_exponent - n[idx], 0, W)  # [width]
+            in_range = jnp.arange(1, W + 1)[None, :] <= j_lim[:, None]
+            stop = stop & in_range
+            stopped = jnp.any(stop, axis=1)
+            j_stop = jnp.argmax(stop, axis=1) + 1  # first stopping trial
+            j_eff = jnp.where(stopped, j_stop, j_lim)
 
-        n = upd(n, n[idx] + j_eff.astype(jnp.int32))
-        scale = jnp.where(d_i > 0, 2.0 ** j_eff.astype(stepv.dtype),
-                          0.5 ** j_eff.astype(stepv.dtype))
-        stepv = upd(stepv, stepv[idx] * scale)
-        done = upd(done, stopped)
-        evals = upd(evals, evals[idx] + W)  # speculative trials are performed
-        return n, stepv, done, evals
+            def upd(arr, new):
+                return arr.at[idx].set(jnp.where(valid, new, arr[idx]))
 
-    n, _, _, evals = lax.while_loop(cond, body, (n, stepv, done, evals))
+            n = upd(n, n[idx] + j_eff.astype(jnp.int32))
+            scale = jnp.where(d_i > 0, 2.0 ** j_eff.astype(stepv.dtype),
+                              0.5 ** j_eff.astype(stepv.dtype))
+            stepv = upd(stepv, stepv[idx] * scale)
+            done = upd(done, stopped)
+            evals = upd(evals, evals[idx] + W)  # speculative trials performed
+            return n, stepv, done, evals
+
+        return body
+
+    st0 = (n, stepv, done, evals)
+    if 0 < Wq_tail < Wq:
+        st0 = lax.while_loop(make_cond(Wq_tail), make_body(Wq), st0)
+        st0 = lax.while_loop(make_cond(0), make_body(Wq_tail), st0)
+    else:
+        st0 = lax.while_loop(make_cond(0), make_body(Wq), st0)
+    n, _, _, evals = st0
     exponent = jnp.where(direction > 0, n - 1, jnp.where(direction < 0, -n, 0))
     return exponent, evals
 
@@ -413,6 +446,11 @@ def _batched_step_impl(explorer, keys, X, lp0, ld, betas, isvar, ref_params,
     use_mh = jnp.asarray(scan_idx != 1)
     Wq = explorer.queue_width or max(min(B, 128), B // 8)
     Wq = min(Wq, B)
+    if explorer.queue_tail_width < 0:
+        Wq_tail = min(Wq, max(64, Wq // 8))
+        Wq_tail = 0 if Wq_tail >= Wq else Wq_tail
+    else:
+        Wq_tail = min(explorer.queue_tail_width, Wq)
     W_spec = max(1, explorer.window)  # in-queue speculation depth
     max_exponent = explorer.max_exponent
 
@@ -456,6 +494,7 @@ def _batched_step_impl(explorer, keys, X, lp0, ld, betas, isvar, ref_params,
         exp_f, n_f = _queued_search(
             leap_sub, X, V, lp, cgrad, precond, base_step, lower, upper,
             betas, isvar, h0, max_exponent, Wq, direction_of, W=W_spec,
+            Wq_tail=Wq_tail,
         )
         # rematerialize the selected candidate: one full-width leapfrog at
         # the selected step (same inputs as the winning trial -> same bits)
@@ -478,7 +517,7 @@ def _batched_step_impl(explorer, keys, X, lp0, ld, betas, isvar, ref_params,
         exp_r, n_r = _queued_search(
             leap_sub, x_new, -v_new, lp_new, cg_new, precond, base_step,
             lower, upper, betas, isvar, h_prop, max_exponent, Wq,
-            direction_rev, W=W_spec,
+            direction_rev, W=W_spec, Wq_tail=Wq_tail,
         )
         reversible = (exp_r == exp_f) & ok
         f_s = f_s + jnp.where(use_mh, 2.0 ** exp_r.astype(jnp.float32), 0.0)

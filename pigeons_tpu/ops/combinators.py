@@ -4,11 +4,18 @@ Reference: ``src/explorers/Mix.jl`` (pick one sub-explorer uniformly per
 step) and ``src/explorers/Compose.jl`` (run all sub-explorers in sequence).
 Adaptation and recorder plumbing recurse into the components.
 
-TPU-native note: a data-dependent uniform choice would put a ``lax.switch``
-inside the vmapped step — all branches execute on masked lanes. ``Mix``
-instead selects the component from the scan key *replicated per replica* via
-``lax.switch``; under vmap this still executes every branch, so prefer
-``Compose`` (or a single explorer) on hot paths.
+TPU-native note: ``Mix``'s per-replica uniform choice puts a ``lax.switch``
+with a BATCHED index inside the vmapped step — XLA must then execute every
+branch on masked lanes, so a K-component Mix costs ~the SUM of its
+components per scan (measured 2.4x the ideal for K=2,
+docs/performance.md). :class:`ScanMix` is the TPU-native mitigation: it
+cycles components ACROSS scans (one component per scan, all replicas), so
+the switch index stays a scalar under vmap and exactly ONE branch executes
+— the ideal mixture cost, layout-invariant by construction. Statistically
+it is the systematic-scan analogue of Mix's random scan (each chain still
+alternates all components; any fixed component schedule independent of the
+state preserves the target). Prefer ``ScanMix`` (or ``Compose``) on hot
+paths; ``Mix`` remains for reference-faithful random mixing.
 """
 
 from __future__ import annotations
@@ -138,3 +145,47 @@ class Mix(Explorer):
             return branch
 
         return lax.switch(idx, [make_branch(i) for i in range(len(self.explorers))], (x, lp0))
+
+
+class ScanMix(Mix):
+    """Systematic-scan mixture: component ``scan_idx % K`` runs on ALL
+    replicas this scan, cycling deterministically across scans.
+
+    The selection index is a scalar function of the (non-vmapped) scan
+    counter, so under vmap the ``lax.switch`` stays a real branch and only
+    the selected component executes — K times cheaper than :class:`Mix`'s
+    per-replica random choice, with identical per-chain component coverage
+    over a round (each chain runs every component every K scans). Any
+    state-independent component schedule preserves the target, exactly as
+    the reference argues for its deterministic ``Compose``
+    (``src/explorers/Compose.jl``); layout-invariant by construction since
+    the schedule depends on nothing but the scan index."""
+
+    def step(self, key, x, lp0, lp_fn, beta, chain_params, scan_idx) -> StepOut:
+        K_comp = len(self.explorers)
+        idx = jnp.asarray(scan_idx, jnp.int32) % K_comp
+        K = len(self.extra_names)
+
+        def make_branch(i):
+            def branch(args):
+                x, lp0 = args
+                out = self.explorers[i].step(
+                    key, x, lp0, lp_fn, beta, chain_params[i], scan_idx
+                )
+                if K:
+                    off, k = self._extra_slices[i]
+                    es = jnp.zeros(K, jnp.float32)
+                    en = jnp.zeros(K, jnp.float32)
+                    if k:
+                        es = es.at[off : off + k].set(out.extras_sum)
+                        en = en.at[off : off + k].set(out.extras_n)
+                else:
+                    es, en = (), ()
+                return StepOut(
+                    out.x, out.lp, out.accept_sum, out.accept_n, out.n_steps,
+                    es, en,
+                )
+
+            return branch
+
+        return lax.switch(idx, [make_branch(i) for i in range(K_comp)], (x, lp0))

@@ -16,7 +16,7 @@ PUBLIC = [
     "pigeons", "PT", "Inputs",
     # explorers
     "SliceSampler", "SliceSamplerPallas", "MALA", "AutoMALA", "AAPS", "NUTS",
-    "BinaryGibbs", "Mix", "Compose", "ToyExplorer", "NoOpExplorer",
+    "BinaryGibbs", "Mix", "ScanMix", "Compose", "ToyExplorer", "NoOpExplorer",
     "IdentityPreconditioner", "DiagonalPreconditioner",
     "MixDiagonalPreconditioner",
     # targets / frontends

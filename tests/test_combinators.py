@@ -7,7 +7,7 @@ explorer matrix)."""
 import numpy as np
 
 from pigeons_tpu import Inputs, PT, SliceSampler, toy_mvn_target
-from pigeons_tpu.ops import MALA, AutoMALA, Compose, Mix
+from pigeons_tpu.ops import MALA, AutoMALA, Compose, Mix, ScanMix
 
 
 def _run(explorer, seed=1):
@@ -66,4 +66,24 @@ def test_mix_supports_extras():
 def test_mix_deterministic():
     a = _run(Mix(SliceSampler(n_passes=1), MALA(step_size=0.3)), seed=3)
     b = _run(Mix(SliceSampler(n_passes=1), MALA(step_size=0.3)), seed=3)
+    assert np.array_equal(a.sample_array(), b.sample_array())
+
+
+def test_scanmix_moments_and_adaptation():
+    """ScanMix (the TPU-native systematic-scan mixture — one component per
+    scan, scalar switch index, only the selected branch executes) leaves the
+    target invariant and still feeds each component's adaptation."""
+    am = AutoMALA()
+    pt = _run(ScanMix(SliceSampler(n_passes=1), am))
+    assert np.abs(pt.mean()).max() < 0.12
+    assert np.abs(pt.var() - 0.1).max() < 0.06
+    step = np.asarray(pt.exp_state[1]["step_size"])
+    assert not np.allclose(step, 1.0)
+    extra_n = pt.reduced.extra_n
+    assert (extra_n.sum(0) > 0).all()
+
+
+def test_scanmix_deterministic():
+    a = _run(ScanMix(SliceSampler(n_passes=1), MALA(step_size=0.3)), seed=3)
+    b = _run(ScanMix(SliceSampler(n_passes=1), MALA(step_size=0.3)), seed=3)
     assert np.array_equal(a.sample_array(), b.sample_array())

@@ -532,6 +532,21 @@ model {
     np.testing.assert_allclose(np.asarray(env["theta"]).sum(axis=1), 1.0, atol=1e-6)
 
 
+def test_reject_statement_zeroes_density():
+    """Stan `reject()` makes the density -inf on the rejecting lanes (the
+    runtime's NaN/-inf guard then rejects the move)."""
+    src = """
+parameters { real x; }
+model {
+  if (x > 1) reject("x too big");
+  x ~ normal(0, 1);
+}
+"""
+    t = stan_target(source=src)
+    assert np.isfinite(float(t.log_density(jnp.asarray([0.5]))))
+    assert float(t.log_density(jnp.asarray([2.0]))) == -np.inf
+
+
 def test_unsupported_constructs_fail_loudly():
     with pytest.raises(SyntaxError):
         stan_target(source="parameters { foo_bar_type[3] x; } model { }")
