@@ -368,10 +368,11 @@ def mrna_target() -> BayesianModel:
 
 def mvn_target(dim: int, precision: float = 1.0) -> Target:
     """Reference ``examples/stan/mvn.stan`` (flat-prior isotropic Gaussian)."""
+    d = int(dim)  # class bodies resolve `dim = dim` against globals, not here
 
     @dataclass(frozen=True)
     class MVN(Target):
-        dim: int = dim
+        dim: int = d
 
         def log_density(self, x):
             return -0.5 * precision * jnp.sum(x * x)
