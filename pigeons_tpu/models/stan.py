@@ -89,6 +89,7 @@ from .target import Reference, Target
 _TOKEN_RE = re.compile(
     r"""
     (?P<comment>//[^\n]*|\#[^\n]*|/\*.*?\*/)
+  | (?P<str>"[^"\n]*")
   | (?P<num>((\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?))
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\.\*|\./|<=|>=|==|!=|\+=|-=|\*=|/=|&&|\|\||[-+*/^<>=!?:;,(){}\[\]|~%.'\\])
@@ -391,11 +392,18 @@ class _Parser:
             dist = self.next()[1]
             self.expect("(")
             args = self.parse_args(")")
-            # optional truncation T[a, b] — unsupported, detect and error
+            # optional truncation T[a, b] / T[a, ] / T[, b]
+            trunc = None
             if self.peek()[1] == "T":
-                raise SyntaxError("stan: truncation T[,] not supported")
+                self.next()
+                self.expect("[")
+                lo = None if self.peek()[1] == "," else self.parse_expr()
+                self.expect(",")
+                hi = None if self.peek()[1] == "]" else self.parse_expr()
+                self.expect("]")
+                trunc = (lo, hi)
             self.expect(";")
-            return [("sample", e, dist, args)]
+            return [("sample", e, dist, args, trunc)]
         if nxt in ("=", "+=", "-=", "*=", "/="):
             rhs = self.parse_expr()
             self.expect(";")
@@ -808,6 +816,115 @@ _DENSITIES = {
     "von_mises": _lpdf_von_mises,
 }
 
+# log-CDFs for truncation (`y ~ dist(...) T[a, b]`) and the `_lcdf`/`_lccdf`
+# call forms (Stan functions reference; used by the reference through
+# BridgeStan). Each returns the elementwise log CDF.
+def _lcdf_normal(y, mu, sigma):
+    return jax.scipy.stats.norm.logcdf(y, mu, sigma)
+
+
+def _lcdf_exponential(y, rate):
+    return jnp.log(-jnp.expm1(-rate * y))
+
+
+def _lcdf_uniform(y, a, b):
+    return jnp.log(jnp.clip((y - a) / (b - a), 1e-38, 1.0))
+
+
+def _lcdf_cauchy(y, mu, sigma):
+    return jnp.log(0.5 + jnp.arctan((y - mu) / sigma) / math.pi)
+
+
+def _lcdf_logistic(y, mu, sigma):
+    return jax.nn.log_sigmoid((y - mu) / sigma)
+
+
+def _lcdf_lognormal(y, mu, sigma):
+    return jax.scipy.stats.norm.logcdf(jnp.log(y), mu, sigma)
+
+
+def _lcdf_gamma(y, alpha, beta):
+    return jnp.log(jax.scipy.special.gammainc(1.0 * alpha, beta * y))
+
+
+def _lcdf_chi_square(y, nu):
+    return jnp.log(jax.scipy.special.gammainc(0.5 * nu, 0.5 * y))
+
+
+def _lcdf_weibull(y, alpha, sigma):
+    return jnp.log(-jnp.expm1(-((y / sigma) ** alpha)))
+
+
+def _lcdf_beta(y, a, b):
+    return jnp.log(jax.scipy.special.betainc(1.0 * a, 1.0 * b, y))
+
+
+def _lcdf_student_t(y, nu, mu, sigma):
+    # via the regularized incomplete beta (Abramowitz & Stegun 26.7.1)
+    z = (y - mu) / sigma
+    x = nu / (nu + z * z)
+    tail = 0.5 * jax.scipy.special.betainc(0.5 * nu, 0.5, x)
+    return jnp.log(jnp.where(z > 0, 1.0 - tail, tail))
+
+
+def _lcdf_double_exponential(y, mu, sigma):
+    z = (y - mu) / sigma
+    return jnp.where(
+        z < 0, math.log(0.5) + z, jnp.log1p(-0.5 * jnp.exp(-z))
+    )
+
+
+def _lcdf_pareto(y, y_min, alpha):
+    return jnp.log1p(-((y_min / y) ** alpha))
+
+
+_LCDFS = {
+    "normal": _lcdf_normal,
+    "std_normal": lambda y: _lcdf_normal(y, 0.0, 1.0),
+    "exponential": _lcdf_exponential,
+    "uniform": _lcdf_uniform,
+    "cauchy": _lcdf_cauchy,
+    "logistic": _lcdf_logistic,
+    "lognormal": _lcdf_lognormal,
+    "gamma": _lcdf_gamma,
+    "chi_square": _lcdf_chi_square,
+    "weibull": _lcdf_weibull,
+    "beta": _lcdf_beta,
+    "student_t": _lcdf_student_t,
+    "double_exponential": _lcdf_double_exponential,
+    "pareto": _lcdf_pareto,
+}
+
+
+def _truncation_term(dist, y, args, lo, hi):
+    """log of the truncation normalizer P(lo <= Y <= hi) (per element,
+    broadcast over vectorized y), plus the support indicator: Stan's
+    ``T[a, b]`` subtracts log(F(b) - F(a)) and rejects draws outside."""
+    if dist not in _LCDFS:
+        raise SyntaxError(
+            f"stan: truncation T[,] is not supported for {dist!r} "
+            f"(no log-CDF; supported: {sorted(_LCDFS)})"
+        )
+    cdf = _LCDFS[dist]
+    if lo is not None and hi is not None:
+        lz = jnp.log(
+            jnp.clip(jnp.exp(cdf(hi, *args)) - jnp.exp(cdf(lo, *args)),
+                     1e-38, 1.0)
+        )
+        inside = (y >= lo) & (y <= hi)
+    elif lo is not None:
+        lz = jnp.log1p(-jnp.exp(cdf(lo, *args)))
+        inside = y >= lo
+    elif hi is not None:
+        lz = cdf(hi, *args)
+        inside = y <= hi
+    else:
+        return jnp.zeros(())
+    return jnp.sum(
+        jnp.where(inside, jnp.broadcast_to(lz, jnp.shape(inside)), jnp.inf)
+    )
+
+
 # multivariate/container densities: the whole statement contributes ONE
 # scalar (no elementwise summation over y's last axis)
 _MV_DENSITIES = {
@@ -1154,6 +1271,14 @@ class _Evaluator:
             if dist not in _DENSITIES:
                 raise SyntaxError(f"stan: unsupported density {dist!r}")
             return jnp.sum(_DENSITIES[dist](args[0], *args[1:]))
+        if name.endswith("_lcdf") or name.endswith("_lccdf"):
+            dist = name[: -5 if name.endswith("_lcdf") else -6]
+            if dist not in _LCDFS:
+                raise SyntaxError(f"stan: no log-CDF for {dist!r}")
+            lc = _LCDFS[dist](args[0], *args[1:])
+            if name.endswith("_lccdf"):
+                lc = jnp.log(-jnp.expm1(jnp.minimum(lc, -1e-38)))
+            return jnp.sum(lc)
         if name.endswith("_rng"):
             dist = name[:-4]
             if self.rng is None:
@@ -1294,10 +1419,19 @@ class _Evaluator:
             if dist.endswith("_lpdf") or dist.endswith("_lpmf"):
                 dist = dist[:-5]
             args = [self.eval_expr(a, env) for a in s[3]]
+            trunc = s[4] if len(s) > 4 else None
             if dist in _MV_DENSITIES:
+                if trunc is not None:
+                    raise SyntaxError(
+                        f"stan: truncation is not defined for {dist!r}"
+                    )
                 inc = _mv_density_sum(dist, y, args)
             elif dist in _DENSITIES:
                 inc = jnp.sum(_DENSITIES[dist](y, *args))
+                if trunc is not None:
+                    lo = None if trunc[0] is None else self.eval_expr(trunc[0], env)
+                    hi = None if trunc[1] is None else self.eval_expr(trunc[1], env)
+                    inc = inc - _truncation_term(dist, y, args, lo, hi)
             else:
                 raise SyntaxError(f"stan: unsupported density {dist!r}")
             if mask is not None:
@@ -1431,8 +1565,11 @@ class _Evaluator:
         if n < 32:
             return None  # unroll small loops (keeps traces bit-stable)
         body = s[4]
-        if not body or any(st[0] != "sample" for st in body):
-            return None
+        if not body or any(
+            st[0] != "sample" or (len(st) > 4 and st[4] is not None)
+            for st in body
+        ):
+            return None  # assignments / truncated statements: unroll
         venv = dict(env)
         # HOST-numpy index vector: under a jit trace a jnp.arange would be a
         # (constant-valued) tracer, and numpy data arrays cannot be fancy-

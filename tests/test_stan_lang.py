@@ -532,6 +532,87 @@ model {
     np.testing.assert_allclose(np.asarray(env["theta"]).sum(axis=1), 1.0, atol=1e-6)
 
 
+def test_truncation_matches_analytic():
+    """`y ~ normal(mu, s) T[lo, hi]` subtracts log(F(hi)-F(lo)) and rejects
+    outside the bounds (Stan reference manual, truncated distributions)."""
+    from scipy.stats import norm
+
+    src = """
+data { real y; }
+parameters { real mu; }
+model {
+  mu ~ normal(0, 10);
+  y ~ normal(mu, 2) T[-1, 3];
+}
+"""
+    t = stan_target(source=src, data={"y": 1.5})
+    mu = 0.7
+    lp = float(t.log_density(jnp.asarray([mu])))
+    want = (
+        norm.logpdf(mu, 0, 10)
+        + norm.logpdf(1.5, mu, 2)
+        - np.log(norm.cdf(3, mu, 2) - norm.cdf(-1, mu, 2))
+    )
+    np.testing.assert_allclose(lp, want, rtol=1e-5)
+    _fd_check(t)
+    # outside the truncation bounds the density is -inf
+    t2 = stan_target(source=src, data={"y": 5.0})
+    assert float(t2.log_density(jnp.asarray([0.0]))) == -np.inf
+    # one-sided forms
+    src_l = src.replace("T[-1, 3]", "T[0, ]")
+    t3 = stan_target(source=src_l, data={"y": 1.5})
+    want_l = (
+        norm.logpdf(mu, 0, 10)
+        + norm.logpdf(1.5, mu, 2)
+        - np.log(1 - norm.cdf(0, mu, 2))
+    )
+    np.testing.assert_allclose(
+        float(t3.log_density(jnp.asarray([mu]))), want_l, rtol=1e-5
+    )
+
+
+def test_lcdf_functions_match_scipy():
+    from scipy.stats import cauchy, expon, gamma, norm, t as student, weibull_min
+
+    from pigeons_tpu.models.stan import _LCDFS
+
+    y = jnp.asarray(1.3)
+    np.testing.assert_allclose(
+        float(_LCDFS["normal"](y, 0.5, 2.0)), norm.logcdf(1.3, 0.5, 2.0), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(_LCDFS["exponential"](y, 0.7)), expon.logcdf(1.3, scale=1 / 0.7),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(_LCDFS["cauchy"](y, 0.2, 1.5)), cauchy.logcdf(1.3, 0.2, 1.5),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(_LCDFS["gamma"](y, 2.0, 1.5)), gamma.logcdf(1.3, 2.0, scale=1 / 1.5),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(_LCDFS["student_t"](y, 5.0, 0.0, 1.0)), student.logcdf(1.3, 5),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(_LCDFS["weibull"](y, 2.0, 1.5)),
+        weibull_min.logcdf(1.3, 2.0, scale=1.5), rtol=1e-4,
+    )
+    # the _lcdf/_lccdf call forms compile inside models
+    src = """
+data { real y; }
+parameters { real mu; }
+model { target += normal_lcdf(y | mu, 1) + normal_lccdf(y | mu, 1); }
+"""
+    t = stan_target(source=src, data={"y": 0.3})
+    want = norm.logcdf(0.3, 0.1, 1) + norm.logsf(0.3, 0.1, 1)
+    np.testing.assert_allclose(
+        float(t.log_density(jnp.asarray([0.1]))), want, rtol=1e-4
+    )
+
+
 def test_reject_statement_zeroes_density():
     """Stan `reject()` makes the density -inf on the rejecting lanes (the
     runtime's NaN/-inf guard then rejects the move)."""
@@ -550,10 +631,13 @@ model {
 def test_unsupported_constructs_fail_loudly():
     with pytest.raises(SyntaxError):
         stan_target(source="parameters { foo_bar_type[3] x; } model { }")
-    with pytest.raises((SyntaxError, ValueError)):
-        stan_target(
-            source="parameters { real x; } model { x ~ normal(0, 1) T[0, ]; }"
-        )
+    # truncation is supported where a log-CDF exists; a distribution
+    # without one still fails loudly at evaluation
+    t_tr = stan_target(
+        source="parameters { real x; } model { x ~ von_mises(0, 1) T[0, ]; }"
+    )
+    with pytest.raises(SyntaxError, match="truncation"):
+        t_tr.log_density(jnp.zeros(1))
     t = stan_target(
         source="parameters { real x; } model { x ~ no_such_dist(1); }"
     )
