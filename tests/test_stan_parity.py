@@ -53,7 +53,11 @@ _CASES = {
     "unid": (
         lambda: {"n_trials": 100, "n_successes": 50},
         lambda: library.unid_target(100, 50),
-        dict(mean=0.3, var=0.5, logz=0.3, barrier=0.5),
+        # the unid posterior is an unidentifiable RIDGE (p1*p2 ~ 1/2):
+        # coordinate means wander along it with huge MC variance, so the
+        # identifiable anchor is the ANALYTIC logZ, demanded of both runs
+        dict(mean=None, var=None, logz=0.4, barrier=0.5,
+             logz_analytic=library.unid_analytic_log_z(100, 50)),
     ),
     "bernoulli": (
         lambda: load_stan_data(f"{REF_STAN}/bernoulli.data.json"),
@@ -73,7 +77,10 @@ _CASES = {
     "funnel": (
         lambda: {"dim": 3, "scale": 1.0},
         lambda: library.funnel(3, 1.0),
-        dict(mean=1.0, var=None, logz=1.5, barrier=1.0),
+        # compare only the y coordinate: the funnel's x marginals have
+        # Var = E[e^(2y)] = e^18 — sample moments are dominated by rare
+        # deep-funnel excursions at ANY budget, in both frontends alike
+        dict(mean=0.8, var=None, logz=1.5, barrier=1.0, coords=(0,)),
     ),
     "banana": (
         lambda: {"dim": 3, "scale": 1.0},
@@ -83,7 +90,12 @@ _CASES = {
     "mRNA": (
         _mrna_data,
         lambda: library.mrna_target(),
-        dict(mean=None, var=None, logz=None, barrier=2.0),
+        # a small e2e proves both frontends sample and see the same path
+        # geometry; layer 1 already proves the densities identical
+        # pointwise. Slice sampler for both: AutoMALA's cold-start step-size
+        # search is pathologically deep on this density's ~1e7 scale.
+        dict(mean=None, var=None, logz=None, barrier=2.5, n_rounds=6,
+             slice=True),
     ),
 }
 
@@ -121,14 +133,15 @@ def test_stan_and_library_densities_agree_pointwise(name):
     )
 
 
-def _run(target, seed, reference):
+def _run(target, seed, reference, n_rounds=9, explorer=None):
     pt = PT(
         Inputs(
             target=target,
             n_chains=8,
-            n_rounds=9,
+            n_rounds=n_rounds,
             seed=seed,
             reference=reference,
+            explorer=explorer,
             show_report=False,
         )
     )
@@ -151,14 +164,26 @@ def test_stan_and_library_posteriors_agree(name):
     t_stan = stan_target(file=f"{REF_STAN}/{name}.stan", data=data_fn())
     t_lib = lib_factory()
     reference = t_lib.default_reference()
-    pt_s = _run(t_stan, seed=1, reference=reference)
-    pt_l = _run(t_lib, seed=2, reference=reference)
+    n_rounds = tol.get("n_rounds", 9)
+    explorer = None
+    if tol.get("slice"):
+        from pigeons_tpu import SliceSampler
+
+        explorer = SliceSampler(n_passes=1)
+    pt_s = _run(t_stan, seed=1, reference=reference, n_rounds=n_rounds,
+                explorer=explorer)
+    pt_l = _run(t_lib, seed=2, reference=reference, n_rounds=n_rounds,
+                explorer=explorer)
 
     lz_s = pt_s.reports[-1].log_z_estimate
     lz_l = pt_l.reports[-1].log_z_estimate
     assert np.isfinite(lz_s) and np.isfinite(lz_l), name
     if tol["logz"] is not None:
         assert abs(lz_s - lz_l) < tol["logz"], (name, lz_s, lz_l)
+    if tol.get("logz_analytic") is not None:
+        want = tol["logz_analytic"]
+        assert abs(lz_s - want) < 0.3, (name, lz_s, want)
+        assert abs(lz_l - want) < 0.3, (name, lz_l, want)
 
     if tol["mean"] is not None:
         if hasattr(t_stan, "constrained_samples") and hasattr(
@@ -173,12 +198,18 @@ def test_stan_and_library_posteriors_agree(name):
                     ms[k], ml[k], atol=tol["mean"], err_msg=f"{name}:{k}"
                 )
         else:
+            coords = list(tol.get("coords", range(t_stan.dim)))
             np.testing.assert_allclose(
-                pt_s.mean(), pt_l.mean(), atol=tol["mean"], err_msg=name
+                np.asarray(pt_s.mean())[coords],
+                np.asarray(pt_l.mean())[coords],
+                atol=tol["mean"], err_msg=name,
             )
     if tol["var"] is not None:
+        coords = list(tol.get("coords", range(t_stan.dim)))
         np.testing.assert_allclose(
-            pt_s.var(), pt_l.var(), atol=tol["var"], err_msg=name
+            np.asarray(pt_s.var())[coords],
+            np.asarray(pt_l.var())[coords],
+            atol=tol["var"], err_msg=name,
         )
 
     # same path (shared reference) => same barrier, within estimation error
