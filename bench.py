@@ -10,7 +10,18 @@ ladders per chip). Also measured:
   * automala_logreg_evals_per_sec — BASELINE config 2a (small Bayesian
     logistic regression with AutoMALA), counting leapfrog gradient
     evaluations; automala_mxu_* — config 2b at MXU scale (n=4096, d=256,
-    queued search) with TFLOP/s and % of the v5e bf16 matmul peak;
+    queued search) with TFLOP/s, % of the v5e bf16 matmul peak, and the
+    STRUCTURAL-FLOOR fields (r5): automala_mxu_floor_evals_per_sec (dense
+    batched leapfrog with no search logic — the shape's combined MXU+HBM
+    roofline), automala_mxu_algorithmic_evals_per_sec (sequential-
+    equivalent evals, speculation/rematerialization waste excluded), and
+    automala_mxu_pct_of_floor;
+  * collective_proxy_* — the 1/2/4-process collective-overhead proxy
+    (tools/collective_scaling.py): iso-work wall-time efficiency, per-scan
+    process-boundary overhead, and the zero-collective replicate-sharded
+    control. On this 2-core host multi-process runs oversubscribe the CPU,
+    so the CONTROL degrades too — read the chain-vs-control GAP, not the
+    absolute efficiencies;
   * funnel_round_trips_per_hour — config 3 (Neal's funnel, barrier-tuned);
   * variational_restarts_per_hour — config 4 (two-leg stabilized PT);
   * mesh_evals_per_sec_per_chip — config 1 under shard_map (config 5's
