@@ -33,6 +33,24 @@ def test_slice_invariant_funnel():
     assert res.passed, f"pvalues {res.pvalues}"
 
 
+def test_combinators_invariant_toy_mvn():
+    """Mix and ScanMix leave the target exactly invariant (any
+    state-independent component schedule preserves the target — the Geweke
+    battery checks the SCAN-LEVEL kernel, so ScanMix's deterministic
+    component cycling is covered by its invariance at every scan index)."""
+    from pigeons_tpu import Mix, ScanMix
+
+    for combinator in (Mix, ScanMix):
+        explorer = combinator(
+            SliceSampler(n_passes=1),
+            MALA(step_size=0.4, preconditioner=IdentityPreconditioner()),
+        )
+        res = invariance_test(toy_mvn_target(3), explorer, n_iid_samples=N)
+        assert res.passed, (
+            combinator.__name__, res.failed_dims, res.pvalues
+        )
+
+
 class BrokenKernel(Explorer):
     """Deterministic drift: obviously not invariant."""
 
