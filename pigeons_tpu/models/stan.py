@@ -645,6 +645,66 @@ def _lpmf_neg_binomial_2(n, mu, phi):
     )
 
 
+def _lpmf_poisson_log(k, alpha):
+    return k * alpha - jnp.exp(alpha) - jax.lax.lgamma(k + 1.0)
+
+
+def _lpmf_binomial_logit(n, N, alpha):
+    lchoose = (
+        jax.lax.lgamma(1.0 + N) - jax.lax.lgamma(1.0 + n) - jax.lax.lgamma(1.0 + N - n)
+    )
+    return lchoose + n * jax.nn.log_sigmoid(alpha) + (N - n) * jax.nn.log_sigmoid(-alpha)
+
+
+def _lpmf_neg_binomial_2_log(n, eta, phi):
+    # mu = exp(eta); log(mu + phi) = logaddexp(eta, log phi), fully in logs
+    lse = jnp.logaddexp(eta, jnp.log(phi))
+    lchoose = (
+        jax.lax.lgamma(n + phi)
+        - jax.lax.lgamma(n + 1.0)
+        - jax.lax.lgamma(1.0 * phi)
+    )
+    return lchoose + n * (eta - lse) + phi * (jnp.log(phi) - lse)
+
+
+def _ordered_interval_logprob(a_log_upper, b_log_upper):
+    """log(exp(a) - exp(b)) for log-CDF-style upper tails a >= b, with
+    b = -inf handled exactly (gradient-safe)."""
+    neg = jnp.isneginf(b_log_upper)
+    diff = jnp.where(neg, 1.0, -jnp.expm1(b_log_upper - a_log_upper))
+    return a_log_upper + jnp.log(diff)
+
+
+def _lpmf_ordered_logistic(y, eta, c):
+    """y in 1..K with K-1 ordered cutpoints (Stan functions reference):
+    P(y=k) = sigmoid(eta - c_{k-1}) - sigmoid(eta - c_k), c_0 = -inf,
+    c_K = +inf. Vectorizes over arrays of (y, eta)."""
+    c = jnp.asarray(c)
+    y = jnp.asarray(y, jnp.int32).reshape(-1)
+    eta = jnp.broadcast_to(
+        jnp.asarray(eta, jnp.result_type(c, float)).reshape(-1), y.shape
+    )
+    big = jnp.asarray([jnp.inf], c.dtype)
+    c_ext = jnp.concatenate([-big, c, big])
+    a = jax.nn.log_sigmoid(eta - c_ext[y - 1])  # log upper-tail at c_{k-1}
+    b = jax.nn.log_sigmoid(eta - c_ext[y])  # log upper-tail at c_k
+    return jnp.sum(_ordered_interval_logprob(a, b))
+
+
+def _lpmf_ordered_probit(y, eta, c):
+    c = jnp.asarray(c)
+    y = jnp.asarray(y, jnp.int32).reshape(-1)
+    eta = jnp.broadcast_to(
+        jnp.asarray(eta, jnp.result_type(c, float)).reshape(-1), y.shape
+    )
+    big = jnp.asarray([jnp.inf], c.dtype)
+    c_ext = jnp.concatenate([-big, c, big])
+    # upper tail 1 - Phi(c - eta) = Phi(eta - c)
+    a = jax.scipy.stats.norm.logcdf(eta - c_ext[y - 1])
+    b = jax.scipy.stats.norm.logcdf(eta - c_ext[y])
+    return jnp.sum(_ordered_interval_logprob(a, b))
+
+
 def _lpdf_von_mises(y, mu, kappa):
     # log I0 via the exponentially-scaled Bessel: log(i0e) + kappa
     log_i0 = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
@@ -813,6 +873,9 @@ _DENSITIES = {
     "weibull": _lpdf_weibull,
     "pareto": _lpdf_pareto,
     "neg_binomial_2": _lpmf_neg_binomial_2,
+    "neg_binomial_2_log": _lpmf_neg_binomial_2_log,
+    "poisson_log": _lpmf_poisson_log,
+    "binomial_logit": _lpmf_binomial_logit,
     "von_mises": _lpdf_von_mises,
 }
 
@@ -937,6 +1000,8 @@ _MV_DENSITIES = {
     "categorical": _lpmf_categorical,
     "categorical_logit": _lpmf_categorical_logit,
     "multinomial": _lpmf_multinomial,
+    "ordered_logistic": _lpmf_ordered_logistic,
+    "ordered_probit": _lpmf_ordered_probit,
     "wishart": _lpdf_wishart,
     "inv_wishart": _lpdf_inv_wishart,
 }
@@ -1092,6 +1157,58 @@ _MATH_FNS = {
     "exp2": jnp.exp2,
     "log2": jnp.log2,
     "log10": jnp.log10,
+    # -- additional scalar/special functions common in applied Stan --------
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
+    "asinh": jnp.arcsinh,
+    "acosh": jnp.arccosh,
+    "atanh": jnp.arctanh,
+    "atan2": jnp.arctan2,
+    "hypot": jnp.hypot,
+    "cbrt": jnp.cbrt,
+    "round": jnp.round,
+    "trunc": jnp.trunc,
+    "fdim": lambda a, b: jnp.maximum(a - b, 0.0),
+    "fmod": lambda a, b: jnp.fmod(a, b),
+    "erf": jax.scipy.special.erf,
+    "erfc": jax.scipy.special.erfc,
+    "Phi": jax.scipy.stats.norm.cdf,
+    "Phi_approx": lambda x: jax.nn.sigmoid(0.07056 * x**3 + 1.5976 * x),
+    "inv_Phi": jax.scipy.stats.norm.ppf,
+    "std_normal_lcdf": jax.scipy.stats.norm.logcdf,
+    "digamma": jax.scipy.special.digamma,
+    "trigamma": lambda x: jax.scipy.special.polygamma(1, x),
+    "log_inv_logit": jax.nn.log_sigmoid,
+    "log1m_inv_logit": lambda x: jax.nn.log_sigmoid(-x),
+    "inv_cloglog": lambda x: -jnp.expm1(-jnp.exp(x)),
+    "cloglog": lambda p: jnp.log(-jnp.log1p(-p)),
+    "log1m_exp": lambda x: jnp.log(-jnp.expm1(x)),  # x < 0
+    "log_diff_exp": lambda a, b: a + jnp.log(-jnp.expm1(b - a)),
+    "lmultiply": lambda a, b: jnp.where(a == 0, 0.0, a * jnp.log(b)),
+    "lchoose": lambda n, k: (
+        jax.lax.lgamma(1.0 + n)
+        - jax.lax.lgamma(1.0 + k)
+        - jax.lax.lgamma(1.0 + n - k)
+    ),
+    "lbeta": lambda a, b: (
+        jax.lax.lgamma(1.0 * a)
+        + jax.lax.lgamma(1.0 * b)
+        - jax.lax.lgamma(1.0 * (a + b))
+    ),
+    "log_mix": lambda theta, la, lb: jnp.logaddexp(
+        jnp.log(theta) + la, jnp.log1p(-theta) + lb
+    ),
+    "logistic_sigmoid": jax.nn.sigmoid,
+    "step": lambda x: jnp.where(x >= 0, 1.0, 0.0),
+    "int_step": lambda x: jnp.where(x > 0, 1, 0),
+    "positive_infinity": lambda: jnp.inf,
+    "negative_infinity": lambda: -jnp.inf,
+    "not_a_number": lambda: jnp.nan,
+    "is_nan": lambda x: jnp.isnan(x),
+    "is_inf": lambda x: jnp.isinf(x),
 }
 
 

@@ -532,6 +532,149 @@ model {
     np.testing.assert_allclose(np.asarray(env["theta"]).sum(axis=1), 1.0, atol=1e-6)
 
 
+_ORDINAL_MODEL = """
+data {
+  int<lower=0> N;
+  int<lower=2> K;
+  vector[N] x;
+  array[N] int<lower=1, upper=K> y;
+}
+parameters {
+  real beta;
+  ordered[K - 1] c;
+}
+model {
+  beta ~ normal(0, 5);
+  c ~ normal(0, 5);
+  y ~ ordered_logistic(beta * x, c);
+}
+"""
+
+
+def test_ordered_logistic_regression():
+    """Ordinal regression — the bread-and-butter use of the `ordered` type
+    (Stan functions reference, ordered_logistic): compiles, matches a direct
+    NumPy evaluation of the interval probabilities, FD-gradient-checks, and
+    recovers the slope sign end-to-end."""
+    rng = np.random.default_rng(21)
+    N, Kc = 60, 4
+    x = rng.normal(size=N)
+    c_true = np.array([-1.0, 0.2, 1.3])
+    eta = 1.5 * x
+    probs = np.stack(
+        [
+            1 / (1 + np.exp(-(eta - np.concatenate(([-np.inf], c_true))[k])))
+            - 1 / (1 + np.exp(-(eta - np.concatenate((c_true, [np.inf]))[k])))
+            for k in range(Kc)
+        ],
+        axis=1,
+    )
+    y = 1 + np.array([rng.choice(Kc, p=p / p.sum()) for p in probs])
+    t = stan_target(
+        source=_ORDINAL_MODEL, data={"N": N, "K": Kc, "x": x, "y": y}
+    )
+    assert t.dim == 1 + (Kc - 1)
+    # direct-evaluation oracle at a generic point
+    th = np.array([0.8, -0.5, 0.1, 0.6], np.float64)
+    beta = th[0]
+    cc = np.concatenate(([th[1]], th[1] + np.cumsum(np.exp(th[2:]))))
+    logjac = th[2:].sum()
+    sig = lambda z: 1 / (1 + np.exp(-z))
+    ce = np.concatenate(([-np.inf], cc, [np.inf]))
+    lik = np.log(sig(beta * x - ce[y - 1]) - sig(beta * x - ce[y])).sum()
+    prior = (
+        -0.5 * (beta / 5) ** 2 - np.log(5) - 0.5 * np.log(2 * np.pi)
+        + np.sum(-0.5 * (cc / 5) ** 2 - np.log(5) - 0.5 * np.log(2 * np.pi))
+    )
+    want = lik + prior + logjac
+    np.testing.assert_allclose(
+        float(t.log_density(jnp.asarray(th))), want, rtol=1e-5
+    )
+    _fd_check(t)
+    pt = pigeons(target=t, n_rounds=7, n_chains=5, seed=4, show_report=False)
+    beta_hat = t.constrained_samples(pt)["beta"].mean()
+    assert beta_hat > 0.5  # true slope 1.5; sign and rough scale recovered
+
+
+def test_glm_log_densities_match_scipy():
+    from scipy.stats import binom, nbinom, poisson
+
+    from pigeons_tpu.models.stan import (
+        _lpmf_binomial_logit,
+        _lpmf_neg_binomial_2_log,
+        _lpmf_poisson_log,
+    )
+
+    np.testing.assert_allclose(
+        float(_lpmf_poisson_log(3.0, 1.2)),
+        poisson.logpmf(3, np.exp(1.2)), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(_lpmf_binomial_logit(4.0, 10.0, 0.3)),
+        binom.logpmf(4, 10, 1 / (1 + np.exp(-0.3))), rtol=1e-5,
+    )
+    # neg_binomial_2(mu, phi): n = phi, p = phi/(phi+mu) in scipy's (n, p)
+    mu, phi = np.exp(0.9), 3.0
+    np.testing.assert_allclose(
+        float(_lpmf_neg_binomial_2_log(5.0, 0.9, phi)),
+        nbinom.logpmf(5, phi, phi / (phi + mu)), rtol=1e-5,
+    )
+
+
+def test_special_functions_match_scipy():
+    import scipy.special as sp
+    from scipy.stats import norm
+
+    from pigeons_tpu.models.stan import _MATH_FNS
+
+    x = 0.37
+    np.testing.assert_allclose(float(_MATH_FNS["Phi"](x)), norm.cdf(x), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(_MATH_FNS["inv_Phi"](jnp.float32(0.84))), norm.ppf(0.84), rtol=1e-4
+    )
+    np.testing.assert_allclose(float(_MATH_FNS["erf"](x)), sp.erf(x), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(_MATH_FNS["digamma"](2.5)), sp.digamma(2.5), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(_MATH_FNS["trigamma"](2.5)), sp.polygamma(1, 2.5), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(_MATH_FNS["log_mix"](0.3, -1.0, -2.0)),
+        np.log(0.3 * np.exp(-1.0) + 0.7 * np.exp(-2.0)), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(_MATH_FNS["log_diff_exp"](-1.0, -3.0)),
+        np.log(np.exp(-1.0) - np.exp(-3.0)), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(_MATH_FNS["lbeta"](2.0, 3.5)), sp.betaln(2.0, 3.5), rtol=1e-5
+    )
+
+
+def test_log_mix_model_differentiates():
+    """A two-component mixture via log_mix — the canonical Stan mixture
+    idiom — compiles and FD-gradient-checks."""
+    src = """
+data { int<lower=1> N; vector[N] y; }
+parameters {
+  real<lower=0, upper=1> theta;
+  ordered[2] mu;
+}
+model {
+  mu ~ normal(0, 5);
+  for (n in 1:N)
+    target += log_mix(theta,
+                      normal_lpdf(y[n] | mu[1], 1),
+                      normal_lpdf(y[n] | mu[2], 1));
+}
+"""
+    rng = np.random.default_rng(23)
+    y = np.concatenate([rng.normal(-2, 1, 15), rng.normal(2, 1, 25)])
+    t = stan_target(source=src, data={"N": 40, "y": y})
+    _fd_check(t)
+
+
 def test_truncation_matches_analytic():
     """`y ~ normal(mu, s) T[lo, hi]` subtracts log(F(hi)-F(lo)) and rejects
     outside the bounds (Stan reference manual, truncated distributions)."""
