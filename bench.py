@@ -15,7 +15,12 @@ ladders per chip). Also measured:
     batched leapfrog with no search logic — the shape's combined MXU+HBM
     roofline), automala_mxu_algorithmic_evals_per_sec (sequential-
     equivalent evals, speculation/rematerialization waste excluded), and
-    automala_mxu_pct_of_floor;
+    automala_mxu_pct_of_floor. NOTE on cross-round comparisons:
+    automala_mxu_evals_per_sec and the TFLOP/s it implies count EXECUTED
+    evals including speculation waste, so they DROP when the search gets
+    leaner (r5's window=2 re-tune cut waste: executed-rate fell ~20% while
+    the algorithmic sampling rate ROSE ~12%) — compare rounds on
+    automala_mxu_algorithmic_evals_per_sec / pct_of_floor, the honest pair;
   * collective_proxy_* — the 1/2/4-process collective-overhead proxy
     (tools/collective_scaling.py): iso-work wall-time efficiency, per-scan
     process-boundary overhead, and the zero-collective replicate-sharded
@@ -440,7 +445,10 @@ def _automala_mxu_run():
             )
         )
 
-    pt = make_pt(explorer=AutoMALA(queued=True, queue_width=512, window=4))
+    # (window=2, queue=512): r5 interleaved sweep over (W, Wq) — W=2 beats
+    # the r4 default W=4 by ~10% (5/6 interleaved rounds; less speculation
+    # waste at the ~2.5 mean search depth), W>=6 and W=3 lose, Wq 256-1024 flat
+    pt = make_pt(explorer=AutoMALA(queued=True, queue_width=512, window=2))
     while pt.round_idx < 4:
         pt.run_round(n_scans=4)
     rate, reduced, report = _best_of(
